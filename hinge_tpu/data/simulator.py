@@ -1,0 +1,330 @@
+"""Synthetic read / overlap generator.
+
+The reference's test harness shells out to DAZZ_DB's ``simulator`` binary to
+fabricate a read database (`utils/test.sh:14-27`) and runs DALIGNER to get
+overlaps.  Neither tool is assumed here: this module samples reads from a
+synthetic (optionally repetitive, circular) genome and derives the *exact*
+overlap records — match coordinates, strandedness, and DALIGNER-style trace
+points — from the known read placements.  That gives fast, deterministic
+end-to-end pipelines for tests and benchmarks without an external overlapper.
+
+Trace-point convention replicated from DALIGNER (`align.h:88-125`,
+`LOverlap::trim_overlap`, LAInterface.cpp:4577-4596): one (diffs, b-disp)
+pair per A-segment between consecutive multiples of ``tspace`` covering
+[abpos, aepos); the walk on the B side starts at the B match start (forward
+strand for same-strand matches, B match *end* for reverse-complement ones)
+and advances by ``±b-disp`` per segment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hinge_tpu.data.overlaps import INT, OverlapStore, ReadStore
+
+
+@dataclasses.dataclass
+class SimParams:
+    genome_len: int = 100_000
+    circular: bool = True
+    coverage: float = 30.0
+    mean_read_len: int = 8000
+    std_read_len: int = 2500
+    min_read_len: int = 500
+    sub_rate: float = 0.0
+    ins_rate: float = 0.0
+    del_rate: float = 0.0
+    chimera_rate: float = 0.0  # fraction of reads that are chimeric joins
+    # repeat structure: list of (src_start, dst_start, length) copies
+    repeats: Tuple[Tuple[int, int, int], ...] = ()
+    tspace: int = 100
+    min_overlap: int = 500  # do not emit overlaps shorter than this
+    qv_good: int = 15  # simulated intrinsic QV for good segments (< 40)
+    qv_bad: int = 45  # simulated QV for bad segments (>= 40)
+    bad_end_len: int = 0  # bases of bad-QV garbage at read ends
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class SimRead:
+    start: int  # genome start (on forward strand)
+    end: int  # genome end (exclusive)
+    strand: int  # 0 fwd, 1 rev-comp
+    codes: np.ndarray  # uint8 read bases (0..3), read orientation
+    gmap: np.ndarray  # int64 [len]: genome pos of each read base (monotone
+    #   increasing along the *forward-strand* layout of the read)
+    chimeric: bool = False
+
+
+def make_genome(p: SimParams, rng: np.random.Generator) -> np.ndarray:
+    g = rng.integers(0, 4, size=p.genome_len, dtype=np.uint8)
+    for src, dst, length in p.repeats:
+        g[dst : dst + length] = g[src : src + length]
+    return g
+
+
+def _apply_errors(
+    seg: np.ndarray, gpos: np.ndarray, p: SimParams, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply sub/ins/del errors to a forward-strand genome segment.
+
+    Returns (read codes, genome-position map), both forward-strand oriented.
+    Inserted bases map to the genome position of the next template base.
+    """
+    if p.sub_rate == 0 and p.ins_rate == 0 and p.del_rate == 0:
+        return seg.copy(), gpos.copy()
+    n = len(seg)
+    u = rng.random(n)
+    keep = u >= p.del_rate
+    seg = seg[keep]
+    gpos = gpos[keep]
+    n = len(seg)
+    sub_mask = rng.random(n) < p.sub_rate
+    if sub_mask.any():
+        seg = seg.copy()
+        seg[sub_mask] = (seg[sub_mask] + rng.integers(1, 4, size=int(sub_mask.sum()))) % 4
+    ins_mask = rng.random(n) < p.ins_rate
+    if ins_mask.any():
+        out_codes: List[np.ndarray] = []
+        out_gpos: List[np.ndarray] = []
+        idxs = np.nonzero(ins_mask)[0]
+        prev = 0
+        for i in idxs:
+            out_codes.append(seg[prev : i + 1])
+            out_gpos.append(gpos[prev : i + 1])
+            out_codes.append(rng.integers(0, 4, size=1, dtype=np.uint8))
+            nxt = gpos[i + 1] if i + 1 < n else gpos[i] + 1
+            out_gpos.append(np.array([nxt], dtype=gpos.dtype))
+            prev = i + 1
+        out_codes.append(seg[prev:])
+        out_gpos.append(gpos[prev:])
+        seg = np.concatenate(out_codes)
+        gpos = np.concatenate(out_gpos)
+    return seg, gpos
+
+
+def sample_reads(p: SimParams, rng: np.random.Generator, genome: np.ndarray) -> List[SimRead]:
+    n_bases_target = int(p.coverage * p.genome_len)
+    reads: List[SimRead] = []
+    total = 0
+    g2 = np.concatenate([genome, genome]) if p.circular else genome
+    while total < n_bases_target:
+        length = int(np.clip(rng.normal(p.mean_read_len, p.std_read_len), p.min_read_len, None))
+        chim = rng.random() < p.chimera_rate
+        if p.circular:
+            start = int(rng.integers(0, p.genome_len))
+        else:
+            if length >= p.genome_len:
+                length = p.genome_len - 1
+            start = int(rng.integers(0, p.genome_len - length))
+        strand = int(rng.integers(0, 2))
+        if chim:
+            # two unrelated segments joined; gmap still recorded per-half
+            l1 = length // 2
+            s2 = int(rng.integers(0, p.genome_len - (length - l1) - 1)) if not p.circular else int(
+                rng.integers(0, p.genome_len)
+            )
+            seg1 = g2[start : start + l1].astype(np.uint8)
+            gp1 = (np.arange(start, start + l1) % p.genome_len).astype(np.int64)
+            seg2 = g2[s2 : s2 + (length - l1)].astype(np.uint8)
+            gp2 = (np.arange(s2, s2 + (length - l1)) % p.genome_len).astype(np.int64)
+            seg = np.concatenate([seg1, seg2])
+            gpos = np.concatenate([gp1, gp2])
+        else:
+            seg = g2[start : start + length].astype(np.uint8)
+            gpos = (np.arange(start, start + length) % p.genome_len).astype(np.int64)
+        seg, gpos = _apply_errors(seg, gpos, p, rng)
+        codes = seg if strand == 0 else (3 - seg[::-1]).astype(np.uint8)
+        reads.append(
+            SimRead(
+                start=start,
+                end=start + length,
+                strand=strand,
+                codes=codes,
+                gmap=gpos,  # forward-strand layout
+                chimeric=chim,
+            )
+        )
+        total += len(codes)
+    return reads
+
+
+def _interval_overlaps(reads: List[SimRead], genome_len: int, circular: bool):
+    """Yield (i, j, G0, G1) genome-interval intersections for read pairs.
+
+    Uses unwrapped [start, end) intervals (end may exceed genome_len for
+    circular wraps); a second pass checks the +genome_len shifted copy.
+    """
+    n = len(reads)
+    starts = np.array([r.start for r in reads])
+    ends = np.array([r.end for r in reads])
+    order = np.argsort(starts, kind="stable")
+    shifts = [0, genome_len, -genome_len] if circular else [0]
+    seen = set()
+    for io in range(n):
+        i = int(order[io])
+        for jo in range(n):
+            j = int(order[jo])
+            if i == j:
+                continue
+            for sh in shifts:
+                g0 = max(starts[i], starts[j] + sh)
+                g1 = min(ends[i], ends[j] + sh)
+                if g1 > g0 and (i, j, g0) not in seen:
+                    seen.add((i, j, g0))
+                    yield i, j, int(g0), int(g1), sh
+    return
+
+
+def _unwrap_with(gm: np.ndarray, start: int) -> np.ndarray:
+    out = gm.copy()
+    if len(out) == 0:
+        return out
+    # detect period as max(gm)+1 is unknowable here; wrapped entries are those
+    # that are smaller than start; since reads are << genome, a single wrap
+    # suffices: add (start - min) rounded up by the drop size at the wrap.
+    dif = np.diff(out)
+    drop = np.nonzero(dif < -1)[0]
+    for d in drop:
+        # everything after the drop gets shifted up by the drop magnitude +1
+        out[d + 1 :] += out[d] - out[d + 1] + 1
+    return out
+
+
+def exact_overlaps(
+    reads: List[SimRead], p: SimParams, symmetric: bool = True
+) -> OverlapStore:
+    """Compute exact overlap records (both (i,j) and (j,i) like DALIGNER)."""
+    genome_len = p.genome_len
+    cols = {
+        k: []
+        for k in (
+            "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()
+        )
+    }
+    trace_chunks: List[np.ndarray] = []
+    unwrapped = [_unwrap_with(r.gmap, r.start) for r in reads]
+
+    for i, j, g0, g1, sh in _interval_overlaps(reads, genome_len, p.circular):
+        ra, rb = reads[i], reads[j]
+        if ra.chimeric or rb.chimeric:
+            # chimeric halves still overlap normally; handled per-half below —
+            # for simplicity we intersect against the unwrapped map directly.
+            pass
+        gm_a, gm_b = unwrapped[i], unwrapped[j]
+        # A span: forward-layout positions with genome pos in [g0, g1)
+        s_a = int(np.searchsorted(gm_a, g0, side="left"))
+        e_a = int(np.searchsorted(gm_a, g1, side="left"))
+        s_b = int(np.searchsorted(gm_b, g0 - sh, side="left"))
+        e_b = int(np.searchsorted(gm_b, g1 - sh, side="left"))
+        if e_a - s_a < p.min_overlap or e_b - s_b < p.min_overlap:
+            continue
+        rc = int(ra.strand != rb.strand)
+        alen, blen = len(ra.codes), len(rb.codes)
+        # convert forward-layout coords to read-orientation coords for A
+        if ra.strand == 0:
+            a_start, a_end = s_a, e_a
+        else:
+            a_start, a_end = alen - e_a, alen - s_a
+        # B forward-strand (read-orientation) coords:
+        if rb.strand == 0:
+            b_start, b_end = s_b, e_b
+        else:
+            b_start, b_end = blen - e_b, blen - s_b
+
+        # trace points: walk A read-orientation from a_start to a_end in
+        # tspace segments; record b displacement per segment.
+        tsp = p.tspace
+        bounds = [a_start]
+        nb = a_start
+        while True:
+            nb = (nb // tsp + 1) * tsp
+            if nb >= a_end:
+                break
+            bounds.append(nb)
+        bounds.append(a_end)
+        bounds_arr = np.array(bounds, dtype=np.int64)
+        # map each A boundary to a B read-orientation position
+        if ra.strand == 0:
+            fwd_idx = bounds_arr
+        else:
+            fwd_idx = alen - bounds_arr  # forward-layout index
+        gm_a_ext = np.append(gm_a, gm_a[-1] + 1)  # sentinel for pos == len
+        g_at = gm_a_ext[np.clip(fwd_idx, 0, len(gm_a))] - sh
+        b_fwd = np.searchsorted(gm_b, g_at, side="left")
+        if rb.strand == 0:
+            b_at = b_fwd
+        else:
+            b_at = blen - b_fwd
+        # b_at is B read-orientation position per A boundary. For rc=0 it
+        # increases with A; for rc=1 it decreases.
+        disp = np.abs(np.diff(b_at)).astype(np.uint16)
+        npairs = len(disp)
+        tr = np.zeros(2 * npairs, dtype=np.uint16)
+        tr[1::2] = disp
+        # diffs per segment: approximate as 0 (error-free) — per-segment diff
+        # counts only matter for DALIGNER's quality filters which the HINGE
+        # pipeline does not use downstream.
+        cols["a_id"].append(i)
+        cols["b_id"].append(j)
+        cols["a_len"].append(alen)
+        cols["b_len"].append(blen)
+        cols["a_start"].append(a_start)
+        cols["a_end"].append(a_end)
+        cols["b_start"].append(min(b_start, b_end))
+        cols["b_end"].append(max(b_start, b_end))
+        cols["rc"].append(rc)
+        cols["diffs"].append(int(disp.sum() * 0))
+        cols["tlen"].append(2 * npairs)
+        trace_chunks.append(tr)
+
+    trace = (
+        np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, dtype=np.uint16)
+    )
+    store = OverlapStore.from_arrays(
+        tspace=p.tspace, trace=trace, **{k: np.asarray(v) for k, v in cols.items()}
+    )
+    return store.sort_by_a()
+
+
+def make_read_store(reads: List[SimRead], p: SimParams, rng: np.random.Generator) -> ReadStore:
+    n = len(reads)
+    length = np.array([len(r.codes) for r in reads], dtype=INT)
+    bases_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(length, out=bases_off[1:])
+    bases = np.concatenate([r.codes for r in reads]) if n else np.zeros(0, np.uint8)
+    # QV track: one value per tspace segment (DASqv convention)
+    qv_off = np.zeros(n + 1, dtype=np.int64)
+    qv_chunks = []
+    for i, r in enumerate(reads):
+        nseg = (len(r.codes) + p.tspace - 1) // p.tspace
+        qv = np.full(nseg, p.qv_good, dtype=np.uint8)
+        if p.bad_end_len > 0:
+            nbad = (p.bad_end_len + p.tspace - 1) // p.tspace
+            qv[:nbad] = p.qv_bad
+            qv[max(0, nseg - nbad) :] = p.qv_bad
+        qv_chunks.append(qv)
+        qv_off[i + 1] = qv_off[i] + nseg
+    qv_val = np.concatenate(qv_chunks) if qv_chunks else np.zeros(0, np.uint8)
+    names = [f"sim/{i+1}/0_{length[i]}" for i in range(n)]
+    return ReadStore(
+        length=length,
+        qv_off=qv_off,
+        qv_val=qv_val,
+        bases_off=bases_off,
+        bases=bases,
+        names=names,
+    )
+
+
+def simulate(p: SimParams):
+    """Full synthetic dataset: (genome, reads, ReadStore, OverlapStore)."""
+    rng = np.random.default_rng(p.seed)
+    genome = make_genome(p, rng)
+    reads = sample_reads(p, rng, genome)
+    rs = make_read_store(reads, p, rng)
+    ov = exact_overlaps(reads, p)
+    return genome, reads, rs, ov

