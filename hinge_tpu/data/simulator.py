@@ -152,52 +152,33 @@ def sample_reads(p: SimParams, rng: np.random.Generator, genome: np.ndarray) -> 
     return reads
 
 
-def _interval_overlaps(reads: List[SimRead], genome_len: int, circular: bool):
-    """Yield (i, j, G0, G1) genome-interval intersections for read pairs.
+def _segments(r: SimRead) -> List[Tuple[int, int]]:
+    """Split the forward-layout gmap into monotone pieces.
 
-    Uses unwrapped [start, end) intervals (end may exceed genome_len for
-    circular wraps); a second pass checks the +genome_len shifted copy.
-    """
-    n = len(reads)
-    starts = np.array([r.start for r in reads])
-    ends = np.array([r.end for r in reads])
-    order = np.argsort(starts, kind="stable")
-    shifts = [0, genome_len, -genome_len] if circular else [0]
-    seen = set()
-    for io in range(n):
-        i = int(order[io])
-        for jo in range(n):
-            j = int(order[jo])
-            if i == j:
-                continue
-            for sh in shifts:
-                g0 = max(starts[i], starts[j] + sh)
-                g1 = min(ends[i], ends[j] + sh)
-                if g1 > g0 and (i, j, g0) not in seen:
-                    seen.add((i, j, g0))
-                    yield i, j, int(g0), int(g1), sh
-    return
-
-
-def _unwrap_with(gm: np.ndarray, start: int) -> np.ndarray:
-    out = gm.copy()
-    if len(out) == 0:
-        return out
-    # detect period as max(gm)+1 is unknowable here; wrapped entries are those
-    # that are smaller than start; since reads are << genome, a single wrap
-    # suffices: add (start - min) rounded up by the drop size at the wrap.
-    dif = np.diff(out)
-    drop = np.nonzero(dif < -1)[0]
-    for d in drop:
-        # everything after the drop gets shifted up by the drop magnitude +1
-        out[d + 1 :] += out[d] - out[d + 1] + 1
-    return out
+    gmap is non-decreasing inside a true genomic segment; it jumps at chimeric
+    junctions and circular wrap points.  Returns [(roff0, roff1)] slices."""
+    gm = r.gmap
+    if len(gm) == 0:
+        return []
+    dif = np.diff(gm.astype(np.int64))
+    # a genuine segment advances by >= 0 per base (insertions repeat the next
+    # template position); splits are strictly negative jumps
+    cuts = np.nonzero(dif < 0)[0] + 1
+    bounds = [0] + cuts.tolist() + [len(gm)]
+    return [(bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)]
 
 
 def exact_overlaps(
     reads: List[SimRead], p: SimParams, symmetric: bool = True
 ) -> OverlapStore:
-    """Compute exact overlap records (both (i,j) and (j,i) like DALIGNER)."""
+    """Compute exact overlap records (both (i,j) and (j,i) like DALIGNER).
+
+    Matches come from two sources, mirroring what a real overlapper reports:
+    true genomic co-location (shift 0), and repeat-copy homology — for every
+    repeat (src, dst, L) a match window [src, src+L) with B shifted by
+    src-dst (and the symmetric counterpart).  Repeat matches are clamped to
+    the copy, like a local aligner would end at the homology boundary.
+    """
     genome_len = p.genome_len
     cols = {
         k: []
@@ -206,88 +187,119 @@ def exact_overlaps(
         )
     }
     trace_chunks: List[np.ndarray] = []
-    unwrapped = [_unwrap_with(r.gmap, r.start) for r in reads]
+    seg_lists = [_segments(r) for r in reads]
+    big = 1 << 60
+    # (shift, window) specs: B genome positions g map to A frame as g+shift,
+    # valid only where the A-frame position lies inside window.
+    specs: List[Tuple[int, int, int]] = [(0, -big, big)]
+    for src, dst, L in p.repeats:
+        specs.append((src - dst, src, src + L))
+        specs.append((dst - src, dst, dst + L))
 
-    for i, j, g0, g1, sh in _interval_overlaps(reads, genome_len, p.circular):
-        ra, rb = reads[i], reads[j]
-        if ra.chimeric or rb.chimeric:
-            # chimeric halves still overlap normally; handled per-half below —
-            # for simplicity we intersect against the unwrapped map directly.
-            pass
-        gm_a, gm_b = unwrapped[i], unwrapped[j]
-        # A span: forward-layout positions with genome pos in [g0, g1)
-        s_a = int(np.searchsorted(gm_a, g0, side="left"))
-        e_a = int(np.searchsorted(gm_a, g1, side="left"))
-        s_b = int(np.searchsorted(gm_b, g0 - sh, side="left"))
-        e_b = int(np.searchsorted(gm_b, g1 - sh, side="left"))
-        if e_a - s_a < p.min_overlap or e_b - s_b < p.min_overlap:
-            continue
-        rc = int(ra.strand != rb.strand)
-        alen, blen = len(ra.codes), len(rb.codes)
-        # convert forward-layout coords to read-orientation coords for A
-        if ra.strand == 0:
-            a_start, a_end = s_a, e_a
-        else:
-            a_start, a_end = alen - e_a, alen - s_a
-        # B forward-strand (read-orientation) coords:
-        if rb.strand == 0:
-            b_start, b_end = s_b, e_b
-        else:
-            b_start, b_end = blen - e_b, blen - s_b
-
-        # trace points: walk A read-orientation from a_start to a_end in
-        # tspace segments; record b displacement per segment.
-        tsp = p.tspace
-        bounds = [a_start]
-        nb = a_start
-        while True:
-            nb = (nb // tsp + 1) * tsp
-            if nb >= a_end:
-                break
-            bounds.append(nb)
-        bounds.append(a_end)
-        bounds_arr = np.array(bounds, dtype=np.int64)
-        # map each A boundary to a B read-orientation position
-        if ra.strand == 0:
-            fwd_idx = bounds_arr
-        else:
-            fwd_idx = alen - bounds_arr  # forward-layout index
-        gm_a_ext = np.append(gm_a, gm_a[-1] + 1)  # sentinel for pos == len
-        g_at = gm_a_ext[np.clip(fwd_idx, 0, len(gm_a))] - sh
-        b_fwd = np.searchsorted(gm_b, g_at, side="left")
-        if rb.strand == 0:
-            b_at = b_fwd
-        else:
-            b_at = blen - b_fwd
-        # b_at is B read-orientation position per A boundary. For rc=0 it
-        # increases with A; for rc=1 it decreases.
-        disp = np.abs(np.diff(b_at)).astype(np.uint16)
-        npairs = len(disp)
-        tr = np.zeros(2 * npairs, dtype=np.uint16)
-        tr[1::2] = disp
-        # diffs per segment: approximate as 0 (error-free) — per-segment diff
-        # counts only matter for DALIGNER's quality filters which the HINGE
-        # pipeline does not use downstream.
-        cols["a_id"].append(i)
-        cols["b_id"].append(j)
-        cols["a_len"].append(alen)
-        cols["b_len"].append(blen)
-        cols["a_start"].append(a_start)
-        cols["a_end"].append(a_end)
-        cols["b_start"].append(min(b_start, b_end))
-        cols["b_end"].append(max(b_start, b_end))
-        cols["rc"].append(rc)
-        cols["diffs"].append(int(disp.sum() * 0))
-        cols["tlen"].append(2 * npairs)
-        trace_chunks.append(tr)
+    n = len(reads)
+    emitted = set()
+    for i in range(n):
+        ra = reads[i]
+        gm_a = ra.gmap
+        for j in range(n):
+            rb = reads[j]
+            gm_b = rb.gmap
+            for (sa0, sa1) in seg_lists[i]:
+                ga0, ga1 = int(gm_a[sa0]), int(gm_a[sa1 - 1]) + 1
+                for (sb0, sb1) in seg_lists[j]:
+                    gb0, gb1 = int(gm_b[sb0]), int(gm_b[sb1 - 1]) + 1
+                    for sh, w0, w1 in specs:
+                        if i == j and sh == 0:
+                            continue  # trivial self-identity
+                        g0 = max(ga0, gb0 + sh, w0)
+                        g1 = min(ga1, gb1 + sh, w1)
+                        if g1 - g0 < p.min_overlap:
+                            continue
+                        key = (i, j, g0, g1, sh)
+                        if key in emitted:
+                            continue
+                        emitted.add(key)
+                        yield_overlap = _make_overlap(
+                            reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1,
+                            g0, g1, sh, p
+                        )
+                        if yield_overlap is None:
+                            continue
+                        rec, tr = yield_overlap
+                        for k, v in rec.items():
+                            cols[k].append(v)
+                        trace_chunks.append(tr)
 
     trace = (
         np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, dtype=np.uint16)
     )
     store = OverlapStore.from_arrays(
-        tspace=p.tspace, trace=trace, **{k: np.asarray(v) for k, v in cols.items()}
+        tspace=p.tspace, trace=trace, **{k: np.asarray(v, dtype=np.int64).astype(INT) if len(v) else np.zeros(0, INT) for k, v in cols.items()}
     )
     return store.sort_by_a()
+
+
+def _make_overlap(reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1, g0, g1, sh, p):
+    ra, rb = reads[i], reads[j]
+    # forward-layout spans within each segment
+    s_a = sa0 + int(np.searchsorted(gm_a[sa0:sa1], g0, side="left"))
+    e_a = sa0 + int(np.searchsorted(gm_a[sa0:sa1], g1, side="left"))
+    s_b = sb0 + int(np.searchsorted(gm_b[sb0:sb1], g0 - sh, side="left"))
+    e_b = sb0 + int(np.searchsorted(gm_b[sb0:sb1], g1 - sh, side="left"))
+    if e_a - s_a < p.min_overlap or e_b - s_b < p.min_overlap:
+        return None
+    rc = int(ra.strand != rb.strand)
+    alen, blen = len(ra.codes), len(rb.codes)
+    if ra.strand == 0:
+        a_start, a_end = s_a, e_a
+    else:
+        a_start, a_end = alen - e_a, alen - s_a
+    if rb.strand == 0:
+        b_start, b_end = s_b, e_b
+    else:
+        b_start, b_end = blen - e_b, blen - s_b
+
+    # trace points: walk A read-orientation from a_start to a_end in tspace
+    # segments; record the B displacement per segment.
+    tsp = p.tspace
+    bounds = [a_start]
+    nb = a_start
+    while True:
+        nb = (nb // tsp + 1) * tsp
+        if nb >= a_end:
+            break
+        bounds.append(nb)
+    bounds.append(a_end)
+    bounds_arr = np.array(bounds, dtype=np.int64)
+    # map each A boundary to a B read-orientation position
+    if ra.strand == 0:
+        fwd_idx = bounds_arr
+    else:
+        fwd_idx = alen - bounds_arr  # forward-layout index
+    gm_a_ext = np.append(gm_a, gm_a[-1] + 1)  # sentinel for pos == len
+    g_at = gm_a_ext[np.clip(fwd_idx, 0, len(gm_a))] - sh
+    b_fwd = sb0 + np.searchsorted(gm_b[sb0:sb1], g_at, side="left")
+    if rb.strand == 0:
+        b_at = b_fwd
+    else:
+        b_at = blen - b_fwd
+    # clamp the walk to the reported B match span so displacements telescope
+    # exactly to b_end - b_start
+    lo, hi = min(b_start, b_end), max(b_start, b_end)
+    b_at = np.clip(b_at, lo, hi)
+    disp = np.abs(np.diff(b_at)).astype(np.uint16)
+    npairs = len(disp)
+    tr = np.zeros(2 * npairs, dtype=np.uint16)
+    tr[1::2] = disp
+    # diffs per segment: 0 — per-segment diff counts only matter for
+    # DALIGNER's own quality filters, which HINGE does not use downstream.
+    rec = dict(
+        a_id=i, b_id=j, a_len=alen, b_len=blen,
+        a_start=a_start, a_end=a_end,
+        b_start=min(b_start, b_end), b_end=max(b_start, b_end),
+        rc=rc, diffs=0, tlen=2 * npairs,
+    )
+    return rec, tr
 
 
 def make_read_store(reads: List[SimRead], p: SimParams, rng: np.random.Generator) -> ReadStore:

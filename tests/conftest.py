@@ -3,12 +3,21 @@ tests work without TPU hardware (and CI stays hermetic)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment pins JAX_PLATFORMS=axon (one real
+# TPU chip behind a tunnel) and its sitecustomize imports jax at interpreter
+# startup — so env vars alone are too late here. jax.config.update works as
+# long as no backend has been initialized yet (sitecustomize only registers
+# the PJRT plugin).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
