@@ -1,0 +1,494 @@
+"""Stage 1 — reads filtering: chimera masking + hinge detection.
+
+Reference: `src/filter/filter.cpp` (Reads_filter binary).  Produces, for
+prefix X: X.mas X.cmas X.coverage.txt X.repeat.txt X.hinges.txt X.cov.flag
+X.self.flag X.homologous.txt (empty) — byte-identical formats.
+
+TPU decomposition:
+  * pileup coverage (both cutoffs), mask runs, QV mask, repeat-annotation
+    thresholds: dense kernels over (read, bin) grids (hinge_tpu.ops.coverage),
+    chunked over read ranges so memory stays bounded and shards map to the
+    reference's --mlas A-id partitioning;
+  * coverage estimation, annotation merging, and the hinge bridged/unbridged
+    scan: small sequential host logic mirroring filter.cpp exactly
+    (the scans have early-exit data dependence and touch only reads that
+    carry repeat annotations).
+
+Multi-part quirks preserved: MIN_COV is raised per part and carries over
+(filter.cpp:677-678 runs inside the part loop); maskvec persists across
+parts so later parts see earlier parts' masks and zeros for future reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hinge_tpu.config import Config
+from hinge_tpu.data.overlaps import OverlapStore, ReadStore
+from hinge_tpu.ops import coverage as C
+
+
+@dataclasses.dataclass
+class FilterResult:
+    maskvec: np.ndarray  # int32 [n_reads, 2]
+    cmask: np.ndarray  # int32 [n_reads, 2] (mask coords in bins)
+    repeat_annotation: List[List[Tuple[int, int]]]
+    hinges: Dict[int, List[Tuple[int, int]]]
+    cov_flag: List[int]
+    self_flag: List[int]
+    min_cov_final: int
+    cov_est: int
+    coverages_txt: Optional[List[str]] = None
+
+
+def qv_masks_all(rs: ReadStore, tspace: int, threshold: int = 40) -> np.ndarray:
+    """QV mask for every read (filter.cpp:343-369). Returns [n,2] int32."""
+    n = rs.n_reads
+    out = np.zeros((n, 2), dtype=np.int32)
+    if not rs.has_qv():
+        return out
+    nseg = np.diff(rs.qv_off).astype(np.int64)
+    max_seg = int(nseg.max()) if n else 0
+    good = np.zeros((n, max_seg), dtype=bool)
+    seg_id = np.repeat(np.arange(n), nseg)
+    col = np.arange(int(nseg.sum())) - np.repeat(rs.qv_off[:-1], nseg)
+    good[seg_id, col] = rs.qv_val < threshold
+    ms, me = C.qv_mask(jnp.asarray(good), jnp.asarray(nseg, dtype=np.int32), tspace=tspace)
+    out[:, 0] = np.asarray(ms)
+    out[:, 1] = np.asarray(me)
+    return out
+
+
+def _self_match_reads(ov: OverlapStore, rs: ReadStore) -> Set[int]:
+    """Reads with heavy self-alignment (filter.cpp:537-561)."""
+    sel = ov.a_id == ov.b_id
+    if not sel.any():
+        return set()
+    ids = ov.a_id[sel]
+    span = (ov.a_end[sel] - ov.a_start[sel]) + (ov.b_end[sel] - ov.b_start[sel])
+    tot = np.zeros(rs.n_reads, dtype=np.int64)
+    np.add.at(tot, ids, span)
+    covs = tot / np.maximum(rs.length, 1)
+    return set(np.nonzero((covs > 4.5) & (rs.length > 10000))[0].tolist())
+
+
+def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
+    """Coverage grids for a contiguous read range. Returns numpy arrays."""
+    a_rel = (ov.a_id[sel] - r_begin).astype(np.int32)
+    a_s = ov.a_start[sel].astype(np.int32)
+    a_e = ov.a_end[sel].astype(np.int32)
+    cov = np.asarray(
+        C.profile_coverage(
+            jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
+            jnp.int32(0), n_reads=n_chunk, nb=nb, reso=reso,
+        )
+    )
+    cov_cut = np.asarray(
+        C.profile_coverage(
+            jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
+            jnp.int32(cut_off), n_reads=n_chunk, nb=nb, reso=reso,
+        )
+    )
+    me, cnt = C.pileup_stats(
+        jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
+        n_reads=n_chunk, nb=1, reso=reso,
+    )
+    ne = np.asarray(C.n_entries_from_max_event(me, cnt, reso))
+    ne_cut = np.asarray(C.n_entries_from_max_event(me - cut_off, cnt, reso))
+    return cov, cov_cut, ne, ne_cut
+
+
+def run_filter(
+    rs: ReadStore,
+    parts: Sequence[OverlapStore],
+    cfg: Config,
+    out_prefix: Optional[str] = None,
+    reads_to_keep: Optional[Set[int]] = None,
+    has_qv: Optional[bool] = None,
+    collect_coverage_txt: bool = False,
+) -> FilterResult:
+    f = cfg.filter
+    reso = f.reso
+    n_read = rs.n_reads
+    if has_qv is None:
+        has_qv = rs.has_qv()
+    use_qv_mask = f.use_qv and has_qv
+    use_coverage_mask = f.coverage
+    delete_telomere = cfg.layout.del_telomeres
+
+    tspace = parts[0].tspace if parts else 100
+    QV_mask = qv_masks_all(rs, tspace, f.qv_threshold) if has_qv else np.zeros((n_read, 2), np.int32)
+
+    maskvec = np.zeros((n_read, 2), dtype=np.int32)
+    cmask = np.zeros((n_read, 2), dtype=np.int32)
+    repeat_annotation: List[List[Tuple[int, int]]] = [[] for _ in range(n_read)]
+    hinges: Dict[int, List[Tuple[int, int]]] = {}
+    cov_flag: List[int] = []
+    self_flag: List[int] = []
+    coverage_lines: List[str] = [] if collect_coverage_txt or out_prefix else None
+
+    MIN_COV = f.min_cov
+    cov_est = 0
+
+    # neighbor expansion for restrictreads (filter.cpp:680-694): all B
+    # partners of the initially selected reads
+    if reads_to_keep:
+        reads_to_keep = set(reads_to_keep)
+        initial = set(reads_to_keep)
+        for part in parts:
+            m = np.isin(part.a_id, list(initial))
+            reads_to_keep |= set(part.b_id[m].tolist())
+
+    maxlen = int(rs.length.max()) if n_read else 0
+    nb = maxlen // reso + 3
+
+    for part in parts:
+        if part.n == 0:
+            continue
+        r_begin = int(part.a_id[0])
+        r_end = int(part.a_id[-1])
+        n_chunk = r_end - r_begin + 1
+
+        self_reads = _self_match_reads(part, rs)
+        nonself = part.a_id != part.b_id  # self matches excluded from pileups
+
+        cov, cov_cut, ne, ne_cut = _device_profiles(
+            part, nonself, r_begin, n_chunk, nb, reso, f.cut_off
+        )
+
+        # ---- coverage estimate (filter.cpp:633-673) ----
+        lens = rs.length[r_begin : r_end + 1]
+        rowsum = cov.sum(axis=1, dtype=np.int64)
+        eligible = lens >= 5000
+        read_cov = rowsum[eligible]
+        read_slot = ne[eligible]
+        mean_read_cov = read_cov // np.maximum(1, read_slot)
+        total_cov = int(read_cov.sum())
+        num_slot = int(read_slot.sum())
+        if len(mean_read_cov) == 0:
+            raise ValueError("no reads >= 5000bp for coverage estimation")
+        median_id = len(mean_read_cov) // 2
+        if median_id > 0:
+            cov_est = int(np.partition(mean_read_cov, median_id)[median_id])
+        else:
+            cov_est = int(mean_read_cov[0])
+        if f.est_cov != 0:
+            cov_est = f.est_cov
+        if MIN_COV < cov_est // 3:
+            MIN_COV = cov_est // 3
+
+        # ---- masks (filter.cpp:696-789) ----
+        reduced = np.maximum(cov_cut - MIN_COV, 0).astype(np.int32)
+        ms, me_, msc, mec = (
+            np.asarray(x)
+            for x in C.coverage_mask(jnp.asarray(reduced), jnp.asarray(ne_cut), reso=reso)
+        )
+
+        # telomere flags need start/end coverage of the max run
+        if delete_telomere:
+            for ri in range(n_chunk):
+                i = r_begin + ri
+                a, b = int(msc[ri]), int(mec[ri])
+                span = b - a + 1
+                vals = reduced[ri]
+                if span > 20:
+                    sc = int(vals[a : a + 10].sum() + 10 * MIN_COV) // 10
+                    ec = int(vals[b - 9 : b + 1].sum() + 10 * MIN_COV) // 10
+                else:
+                    limit = (b - a) // 2
+                    if limit == 0:
+                        sc = ec = 0
+                    else:
+                        sc = int(vals[a : a + limit].sum() + limit * MIN_COV) // limit
+                        ec = int(vals[b - limit + 1 : b + 1].sum() + limit * MIN_COV) // limit
+                if sc >= 10 * ec or ec >= 10 * sc:
+                    cov_flag.append(i)
+                if i in self_reads:
+                    self_flag.append(i)
+
+        for ri in range(n_chunk):
+            i = r_begin + ri
+            maxstart, maxend = int(ms[ri]), int(me_[ri])
+            if reads_to_keep and i not in reads_to_keep:
+                maxend = maxstart
+                QV_mask[i, 1] = QV_mask[i, 0]
+            cmask[i] = (msc[ri], mec[ri])
+            if use_qv_mask and use_coverage_mask:
+                maskvec[i] = (
+                    max(maxstart, QV_mask[i, 0]),
+                    min(maxend, QV_mask[i, 1]),
+                )
+            elif use_coverage_mask:
+                maskvec[i] = (maxstart, maxend)
+            else:
+                maskvec[i] = (QV_mask[i, 0], QV_mask[i, 1])
+
+        # ---- repeat annotation (filter.cpp:796-829) ----
+        ann_grid = np.asarray(
+            C.repeat_annotation_mask(
+                jnp.asarray(cov), jnp.asarray(ne),
+                jnp.asarray(maskvec[r_begin : r_end + 1, 0]),
+                jnp.asarray(maskvec[r_begin : r_end + 1, 1]),
+                jnp.int32(MIN_COV),
+                reso=reso,
+                coverage_fraction=f.coverage_frac_repeat_annotation,
+                min_thresh=f.min_repeat_annotation_threshold,
+                max_thresh=f.max_repeat_annotation_threshold,
+                no_hinge_region=f.no_hinge_region,
+            )
+        )
+        for ri in range(n_chunk):
+            i = r_begin + ri
+            nz = np.nonzero(ann_grid[ri])[0]
+            anno = [(int(j) * reso, int(ann_grid[ri, j])) for j in nz]
+            repeat_annotation[i] = _merge_annotations(anno, f.repeat_annotation_gap_threshold)
+
+        # ---- hinge calling (filter.cpp:838-1070) ----
+        _call_hinges(
+            part, nonself, rs, maskvec, cov, ne, r_begin, r_end,
+            repeat_annotation, hinges, f, reso,
+        )
+
+        # ---- coverage.txt lines (filter.cpp:599-602) ----
+        if coverage_lines is not None:
+            for ri in range(n_chunk):
+                i = r_begin + ri
+                vals = cov[ri, : ne[ri]]
+                body = "".join(f"{j*reso},{int(v)} " for j, v in enumerate(vals))
+                coverage_lines.append(f"read {i} {body}")
+
+    res = FilterResult(
+        maskvec=maskvec,
+        cmask=cmask,
+        repeat_annotation=repeat_annotation,
+        hinges=hinges,
+        cov_flag=cov_flag,
+        self_flag=self_flag,
+        min_cov_final=MIN_COV,
+        cov_est=cov_est,
+        coverages_txt=coverage_lines,
+    )
+    if out_prefix is not None:
+        write_filter_outputs(res, out_prefix, n_read, delete_telomere, parts)
+    return res
+
+
+def _merge_annotations(anno: List[Tuple[int, int]], gap: int) -> List[Tuple[int, int]]:
+    """filter.cpp:817-829: in-place merge of nearby same-sign annotations."""
+    a = list(anno)
+    i = 0
+    while i < len(a):
+        if i + 1 < len(a):
+            if a[i][1] == 1 and a[i + 1][1] == 1 and a[i + 1][0] - a[i][0] < gap:
+                del a[i + 1]
+            elif a[i][1] == -1 and a[i + 1][1] == -1 and a[i + 1][0] - a[i][0] < gap:
+                del a[i]
+            else:
+                i += 1
+        else:
+            i += 1
+    return a
+
+
+def _call_hinges(
+    part, nonself, rs, maskvec, cov, ne, r_begin, r_end,
+    repeat_annotation, hinges, f, reso,
+):
+    """filter.cpp:838-1070 — support counting + bridged/unbridged decision.
+
+    Pileup iteration order is compare_overlap (descending summed match
+    length); the reference's std::sort is unstable on ties, we pin
+    stable-descending for determinism.
+    """
+    # build per-read row slices of the non-self pileup (las order)
+    sel_idx = np.nonzero(nonself)[0]
+    a_ids = part.a_id[sel_idx]
+    order = np.argsort(a_ids, kind="stable")
+    sel_idx = sel_idx[order]
+    a_ids = a_ids[order]
+    bounds = np.searchsorted(a_ids, np.arange(r_begin, r_end + 2))
+
+    THETA = f.theta
+    HTL = f.hinge_tolerance_length
+    HBL = f.hinge_bin  # = 2*HTL
+    HMS = f.hinge_min_support
+    HRUT = f.hinge_unbridged
+    HBPT = f.hinge_min_pileup
+    NHR = f.no_hinge_region
+
+    for i in range(r_begin, r_end + 1):
+        hinges[i] = []
+        anns = repeat_annotation[i]
+        lo, hi = bounds[i - r_begin], bounds[i - r_begin + 1]
+        rows = sel_idx[lo:hi]
+        # sort by compare_overlap: descending summed match length, stable
+        mlen = (part.a_end[rows] - part.a_start[rows]) + (part.b_end[rows] - part.b_start[rows])
+        rows = rows[np.argsort(-mlen, kind="stable")]
+
+        # average coverage near mask ends (filter.cpp:842-865)
+        m0, m1 = int(maskvec[i, 0]), int(maskvec[i, 1])
+        nloc = int(ne[i - r_begin])
+        pos = np.arange(nloc) * reso
+        vals = cov[i - r_begin, :nloc]
+        s_sel = (pos >= m0) & (pos <= m0 + NHR)
+        e_sel = (pos >= m1 - NHR) & (pos <= m1)
+        n_s, n_e = int(s_sel.sum()), int(e_sel.sum())
+        if n_s > 0 and n_e > 0:
+            avg_s = float(vals[s_sel].sum()) / n_s
+            avg_e = float(vals[e_sel].sum()) / n_e
+            if abs(avg_e - avg_s) < 10:
+                continue
+        # (num==0 -> NaN in C, comparison false -> proceed)
+
+        if not anns:
+            continue
+
+        b_ids = part.b_id[rows]
+        rcs = part.rc[rows]
+        ams = part.a_start[rows]
+        ame = part.a_end[rows]
+        bms = part.b_start[rows]
+        bme = part.b_end[rows]
+        bm0 = maskvec[b_ids, 0]
+        bm1 = maskvec[b_ids, 1]
+        right_ovh = np.where(rcs == 0, np.maximum(bm1 - bme, 0), np.maximum(bms - bm0, 0))
+        left_ovh = np.where(rcs == 0, np.maximum(bms - bm0, 0), np.maximum(bm1 - bme, 0))
+
+        for pos_a, grad in anns:
+            if grad == -1:
+                near = (ame > pos_a - HTL) & (ame < pos_a + HTL) & (right_ovh > THETA)
+                support = int(near.sum())
+                if support < HMS:
+                    continue
+                other = np.stack([ams[near], left_ovh[near]], axis=1)
+                other = other[np.lexsort((other[:, 1], other[:, 0]))]  # pairAscend
+                bridged = _bridged_scan_out(other, m0, HBL, THETA, HRUT, HBPT)
+                if (not bridged) and support > HMS:
+                    hinges[i].append((pos_a, -1))
+            else:
+                near = (ams > pos_a - HTL) & (ams < pos_a + HTL) & (left_ovh > THETA)
+                support = int(near.sum())
+                if support < HMS:
+                    continue
+                other = np.stack([ame[near], right_ovh[near]], axis=1)
+                other = other[np.lexsort((-other[:, 1], -other[:, 0]))]  # pairDescend
+                bridged = _bridged_scan_in(other, m1, HBL, THETA, HRUT, HBPT)
+                if (not bridged) and support > HMS:
+                    hinges[i].append((pos_a, 1))
+
+
+def _bridged_scan_out(other, mask_start, HBL, THETA, HRUT, HBPT):
+    """filter.cpp:916-963 (out-hinge branch)."""
+    bridged = True
+    considered = 0
+    extending = 0
+    n = len(other)
+    for idx in range(n):
+        first, second = int(other[idx, 0]), int(other[idx, 1])
+        if first - mask_start < HBL:
+            considered += 1
+            extending += 1
+            if extending > HRUT or (
+                considered > HRUT and first - int(other[0, 0]) > HBL
+            ):
+                bridged = False
+                break
+        elif second < THETA:
+            considered += 1
+            if extending > HRUT or (
+                considered > HRUT and first - int(other[0, 0]) > HBL
+            ):
+                bridged = False
+                break
+        elif second > THETA:
+            considered += 1
+            pileup_len = 1
+            id1 = idx + 1
+            while id1 < n and int(other[id1, 0]) - first < HBL:
+                pileup_len += 1
+                id1 += 1
+            if pileup_len > HBPT:
+                bridged = True
+                break
+    return bridged
+
+
+def _bridged_scan_in(other, mask_end, HBL, THETA, HRUT, HBPT):
+    """filter.cpp:1019-1062 (in-hinge branch; descending order)."""
+    bridged = True
+    considered = 0
+    extending = 0
+    n = len(other)
+    for idx in range(n):
+        first, second = int(other[idx, 0]), int(other[idx, 1])
+        if mask_end - first < HBL:
+            considered += 1
+            extending += 1
+            if extending > HRUT or (
+                considered > HRUT and int(other[0, 0]) - first > HBL
+            ):
+                bridged = False
+                break
+        elif second < THETA:
+            considered += 1
+            if extending > HRUT or (
+                considered > HRUT and int(other[0, 0]) - first > HBL
+            ):
+                bridged = False
+                break
+        elif second > THETA:
+            considered += 1
+            pileup_len = 1
+            id1 = idx + 1
+            while id1 < n and first - int(other[id1, 0]) < HBL:
+                pileup_len += 1
+                id1 += 1
+            if pileup_len > HBPT:
+                bridged = True
+                break
+    return bridged
+
+
+def write_filter_outputs(res: FilterResult, prefix: str, n_read: int, delete_telomere: bool, parts):
+    """Write the reference's nine output files with identical formats."""
+    ranges = []
+    for part in parts:
+        if part.n:
+            ranges.append((int(part.a_id[0]), int(part.a_id[-1])))
+
+    with open(prefix + ".mas", "w") as mas, open(prefix + ".cmas", "w") as cmas:
+        for r_begin, r_end in ranges:
+            for i in range(r_begin, r_end + 1):
+                cmas.write(f"{i} {res.cmask[i,0]} {res.cmask[i,1]}\n")
+                mas.write(f"{i} {res.maskvec[i,0]} {res.maskvec[i,1]}\n")
+
+    with open(prefix + ".repeat.txt", "w") as rep:
+        for r_begin, r_end in ranges:
+            for i in range(r_begin, r_end + 1):
+                body = "".join(f"{p} {t} " for p, t in res.repeat_annotation[i])
+                rep.write(f"{i} {body}\n")
+
+    with open(prefix + ".hinges.txt", "w") as hg:
+        for r_begin, r_end in ranges:
+            # reference quirk: loop is `i < r_end`, the last read is skipped
+            for i in range(r_begin, r_end):
+                body = "".join(f"{p} {t} " for p, t in res.hinges.get(i, []))
+                hg.write(f"{i} {body}\n")
+
+    with open(prefix + ".cov.flag", "w") as fcov:
+        for i in res.cov_flag:
+            fcov.write(f"{i}\n")
+    with open(prefix + ".self.flag", "w") as fself:
+        for i in res.self_flag:
+            fself.write(f"{i}\n")
+    open(prefix + ".homologous.txt", "w").close()
+    open(prefix + ".filtered.fasta", "w").close()
+    if res.coverages_txt is not None:
+        with open(prefix + ".coverage.txt", "w") as f:
+            for line in res.coverages_txt:
+                f.write(line + "\n")
