@@ -1,0 +1,117 @@
+"""Stage 2 — maximal-read selection (contained-read removal).
+
+Reference: `src/maximal/maximal.cpp` (get_maximal_reads binary).
+Inputs: overlaps + X.mas masks. Outputs: X.max (surviving read ids, one per
+line) and X.contained.txt ("i\\tcontaining_read").
+
+The per-pair top-2 selection and trim/classify run batched on device
+(hinge_tpu.ops.pairs); the containment sweep itself is inherently sequential
+— read i is contained only by a B read still active when i is processed
+(maximal.cpp:787-800: earlier contained reads can no longer contain) — and
+runs as a single host pass over the BCOVERA candidate edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hinge_tpu.config import Config
+from hinge_tpu.data.overlaps import OverlapStore, ReadStore
+from hinge_tpu.ops import classify as CL
+from hinge_tpu.ops.pairs import process_alignments, top_k_per_pair
+
+
+@dataclasses.dataclass
+class MaximalResult:
+    active: np.ndarray  # bool [n_reads] after containment removal
+    contained: List[Tuple[int, int]]  # (read, containing_read)
+
+
+def read_mas(path: str, n_reads: int) -> Tuple[np.ndarray, np.ndarray]:
+    eff = np.zeros((n_reads, 2), dtype=np.int32)
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if len(t) >= 3:
+                eff[int(t[0])] = (int(t[1]), int(t[2]))
+    return eff[:, 0].copy(), eff[:, 1].copy()
+
+
+def run_maximal(
+    rs: ReadStore,
+    parts: Sequence[OverlapStore],
+    cfg: Config,
+    eff_start: np.ndarray,
+    eff_end: np.ndarray,
+    out_prefix: Optional[str] = None,
+    has_db: bool = True,
+) -> MaximalResult:
+    f = cfg.filter
+    n_reads = rs.n_reads
+    active = (eff_end - eff_start) >= f.length_threshold  # maximal.cpp:541-548
+
+    contained_pairs: List[Tuple[int, int]] = []
+    max_lines: List[int] = []
+
+    for part in parts:
+        if part.n == 0:
+            continue
+        r_begin = int(part.a_id[0])
+        r_end = int(part.a_id[-1])
+        nonself = part.a_id != part.b_id
+        sub = part.take(np.nonzero(nonself)[0])
+
+        k = 2 if cfg.layout.use_two_matches else 1
+        cand = top_k_per_pair(sub, k=k)
+        pa = process_alignments(
+            sub, cand, eff_start, eff_end,
+            f.aln_threshold, f.theta, f.theta2, trim=has_db,
+        )
+
+        a_ids = sub.a_id[cand]
+        b_ids = sub.b_id[cand]
+        is_bcovera = pa.match_type == CL.BCOVERA
+
+        # sequential containment sweep in ascending read order; candidates
+        # are already emitted grouped by a_id ascending
+        order = np.argsort(a_ids, kind="stable")
+        last_i = -1
+        contained_flag = False
+        containing = -1
+        for q in order:
+            i = int(a_ids[q])
+            if i != last_i:
+                if last_i >= 0 and contained_flag and active[last_i]:
+                    active[last_i] = False
+                    contained_pairs.append((last_i, containing))
+                last_i = i
+                contained_flag = False
+                containing = -1
+            if not active[i]:
+                continue
+            if is_bcovera[q]:
+                containing_read = int(b_ids[q])
+                # reference: containing_read is recorded regardless of B
+                # activity, contained flag only counts active B
+                containing = containing_read
+                if active[containing_read]:
+                    contained_flag = True
+        if last_i >= 0 and contained_flag and active[last_i]:
+            active[last_i] = False
+            contained_pairs.append((last_i, containing))
+
+        for i in range(r_begin, r_end + 1):
+            if active[i]:
+                max_lines.append(i)
+
+    if out_prefix is not None:
+        with open(out_prefix + ".max", "w") as fo:
+            for i in max_lines:
+                fo.write(f"{i}\n")
+        with open(out_prefix + ".contained.txt", "w") as fo:
+            for i, c in contained_pairs:
+                fo.write(f"{i}\t{c}\n")
+    return MaximalResult(active=active, contained=contained_pairs)
