@@ -275,9 +275,13 @@ def _make_overlap(reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1, g0, g1, sh, p):
     if ra.strand == 0:
         fwd_idx = bounds_arr
     else:
-        fwd_idx = alen - bounds_arr  # forward-layout index
-    gm_a_ext = np.append(gm_a, gm_a[-1] + 1)  # sentinel for pos == len
-    g_at = gm_a_ext[np.clip(fwd_idx, 0, len(gm_a))] - sh
+        fwd_idx = alen - bounds_arr  # forward-layout boundary index
+    # boundary genome positions, restricted to the matched A segment: a
+    # boundary at the segment's exclusive end maps to last_base+1, NOT to
+    # the next (wrapped/chimeric) segment's start
+    gm_seg = gm_a[sa0:sa1]
+    gm_seg_ext = np.append(gm_seg, gm_seg[-1] + 1)
+    g_at = gm_seg_ext[np.clip(fwd_idx - sa0, 0, sa1 - sa0)] - sh
     b_fwd = sb0 + np.searchsorted(gm_b[sb0:sb1], g_at, side="left")
     if rb.strand == 0:
         b_at = b_fwd

@@ -1,0 +1,150 @@
+"""Stage 8 — consensus polishing (`hinge consensus`, reference
+`src/consensus/consensus.cpp`).
+
+Two-database mode: contigs are the A reads, raw reads the B reads.  Per
+contig: keep the best alignment per read above min_length
+(remove_multialign, consensus.cpp:62-75), derive full alignment rows, chop
+100 columns at each end (chop_end:28-45), then a column-wise plurality vote
+over {A,C,G,T,-} plus a single-insertion track (:162-269):
+
+* coverage < 3 -> keep the draft base lowercased,
+* insertion emitted when insertion_score > cov/2 (argmax over A,C,G,T),
+* deletion when '-' wins the column.
+
+The vote accumulations are scatter-adds over (position, base) — numpy here,
+with the same layout a TPU one-hot scatter kernel uses.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hinge_tpu.config import Config
+from hinge_tpu.data.overlaps import OverlapStore, ReadStore, revcomp_codes
+from hinge_tpu.ops import myers as MY
+from hinge_tpu.stages.draft import codes_to_text
+
+GAP = MY.GAP
+
+
+def chop_end(row_a: np.ndarray, row_b: np.ndarray, chop: int):
+    """consensus.cpp:28-45. Returns (row_a, row_b, offset)."""
+    n = len(row_a)
+    if n < chop * 2 + 10:
+        return row_a, row_b, 0
+    start = chop
+    while start < n and row_a[start] == GAP:
+        start += 1
+    offset = int((row_a[:start] != GAP).sum())
+    return row_a[start : n - chop], row_b[start : n - chop], offset
+
+
+def remove_multialign(rows: np.ndarray, ov: OverlapStore, min_len: int) -> List[int]:
+    """Best alignment per B read with span >= min_len (consensus.cpp:62-75);
+    rows must already be sorted by descending summed match length."""
+    out: List[int] = []
+    seen = set()
+    for r in rows:
+        r = int(r)
+        if int(ov.a_end[r] - ov.a_start[r]) >= min_len:
+            b = int(ov.b_id[r])
+            if b not in seen:
+                seen.add(b)
+                out.append(r)
+    return out
+
+
+def run_consensus(
+    contigs: List[Tuple[str, str]],  # (name, draft sequence text)
+    rs: ReadStore,  # raw reads
+    aln: OverlapStore,  # contig-vs-read records (A=contig, B=read)
+    cfg: Config,
+    out_fasta: Optional[str] = None,
+    band: int = 300,
+) -> List[Tuple[str, str]]:
+    min_len = cfg.consensus.min_length
+    n_contigs = len(contigs)
+    from hinge_tpu.data.overlaps import str_to_codes
+
+    draft_codes = [str_to_codes(seq) for _, seq in contigs]
+
+    # per-contig alignment lists sorted by compare_overlap_aln (desc sum)
+    order = np.lexsort((np.arange(aln.n), -(aln.match_len()), aln.a_id))
+    bounds = np.searchsorted(aln.a_id[order], np.arange(n_contigs + 1))
+
+    results: List[Tuple[str, str]] = []
+    for ci in range(n_contigs):
+        tmpl = draft_codes[ci]
+        alen = len(tmpl)
+        rows = order[bounds[ci] : bounds[ci + 1]]
+        sel = remove_multialign(rows, aln, min_len)
+        if not sel:
+            results.append((f"Consensus{ci}", contigs[ci][1]))
+            continue
+
+        scores = np.zeros((alen, 5), dtype=np.int32)
+        ins_score = np.zeros(alen, dtype=np.int32)
+        ins_scores = np.zeros((alen, 5), dtype=np.int32)
+        cov = np.zeros(alen, dtype=np.int32)
+
+        for r in sel:
+            rowA, rowB = _contig_read_rows(aln, r, tmpl, rs, band)
+            rowA, rowB, offset = chop_end(rowA, rowB, 100)
+            pos0 = int(aln.a_start[r]) + offset
+            a_nogap = rowA != GAP
+            pos = pos0 + np.cumsum(a_nogap) - a_nogap  # position per column
+            valid = pos < alen
+            m_match = a_nogap & valid
+            np.add.at(scores, (pos[m_match], rowB[m_match]), 1)
+            np.add.at(cov, pos[m_match], 1)
+            m_ins = (~a_nogap) & (rowB != GAP) & valid
+            np.add.at(ins_score, pos[m_ins], 1)
+            np.add.at(ins_scores, (pos[m_ins], rowB[m_ins]), 1)
+
+        # emission (consensus.cpp:231-269)
+        out_chars: List[str] = []
+        lowmask = cov < 3
+        max_base = np.argmax(scores, axis=1)  # first max wins, like the loop
+        ins_emit = ins_score > cov // 2
+        max_ins = np.argmax(ins_scores[:, :4], axis=1)
+        draft_text = contigs[ci][1]
+        for j in range(alen):
+            if lowmask[j]:
+                out_chars.append(draft_text[j].lower())
+                continue
+            if ins_emit[j]:
+                out_chars.append("ACGT"[max_ins[j]])
+            mb = int(max_base[j])
+            if mb < 4:
+                out_chars.append("ACGT"[mb])
+        results.append((f"Consensus{ci}", "".join(out_chars)))
+
+    if out_fasta is not None:
+        with open(out_fasta, "w") as f:
+            for name, seq in results:
+                f.write(f">{name}\n{seq}\n")
+    return results
+
+
+def _contig_read_rows(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore, band: int):
+    """Alignment rows contig-vs-read for record r (A row = contig)."""
+    read = rs.get_bases(int(aln.b_id[r]))
+    rc = int(aln.rc[r])
+    blen = int(aln.b_len[r])
+    if rc:
+        b_frame = revcomp_codes(read)
+        bb = blen - int(aln.b_end[r])
+        be = blen - int(aln.b_start[r])
+    else:
+        b_frame = read
+        bb, be = int(aln.b_start[r]), int(aln.b_end[r])
+    if aln.tlen[r] > 0:
+        return MY.align_with_trace(
+            tmpl, b_frame, int(aln.a_start[r]), int(aln.a_end[r]), bb, be,
+            aln.trace_pairs(r), tspace=aln.tspace, band_tolerance=band,
+        )
+    return MY.align_full(
+        tmpl[int(aln.a_start[r]) : int(aln.a_end[r])], b_frame[bb:be], band
+    )

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from hinge_tpu.data.overlaps import str_to_codes, codes_to_str
+from hinge_tpu.ops import falcon_vote as FV
+from hinge_tpu.ops import myers as MY
+
+
+def _codes(s):
+    return str_to_codes(s)
+
+
+def _mutate(rng, codes, sub, ins, dele):
+    out = []
+    for c in codes:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + sub:
+            out.append((c + rng.integers(1, 4)) % 4)
+        else:
+            out.append(c)
+        if rng.random() < ins:
+            out.append(rng.integers(0, 4))
+    return np.array(out, dtype=np.uint8)
+
+
+def test_align_identical():
+    q = _codes("ACGTACGTAAACCCGGG")
+    a = MY.align_pair(q, q.copy())
+    assert a.aligned
+    np.testing.assert_array_equal(a.q_aln, q)
+    np.testing.assert_array_equal(a.t_aln, q)
+    assert a.dist == 0
+
+
+def test_align_with_errors_roundtrip():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, 500).astype(np.uint8)
+    q = _mutate(rng, t, 0.05, 0.03, 0.03)
+    a = MY.align_pair(q, t, band_tolerance=150)
+    assert a.aligned
+    # alignment rows reproduce the inputs when gaps are removed
+    np.testing.assert_array_equal(a.q_aln[a.q_aln != MY.GAP], q[a.q_s : a.q_e])
+    np.testing.assert_array_equal(a.t_aln[a.t_aln != MY.GAP], t[a.t_s : a.t_e])
+    # error count is reasonable
+    assert a.dist < 120
+
+
+def test_align_full_consumes_everything():
+    rng = np.random.default_rng(1)
+    t = rng.integers(0, 4, 300).astype(np.uint8)
+    q = _mutate(rng, t, 0.08, 0.02, 0.02)
+    qr, tr = MY.align_full(q, t)
+    assert len(qr) == len(tr)
+    np.testing.assert_array_equal(qr[qr != MY.GAP], q)
+    np.testing.assert_array_equal(tr[tr != MY.GAP], t)
+
+
+def test_align_empty():
+    q = np.zeros(0, np.uint8)
+    t = _codes("ACGT")
+    qr, tr = MY.align_full(q, t)
+    np.testing.assert_array_equal(tr[tr != MY.GAP], t)
+
+
+def test_align_with_trace_stitches(noisy_sim):
+    ov = noisy_sim["overlaps"]
+    rs = noisy_sim["read_store"]
+    rng = np.random.default_rng(4)
+    checked = 0
+    for k in rng.permutation(ov.n)[:10]:
+        k = int(k)
+        a_seq = rs.get_bases(int(ov.a_id[k]))
+        b_seq = rs.get_bases(int(ov.b_id[k]))
+        from hinge_tpu.data.overlaps import revcomp_codes
+
+        if ov.rc[k]:
+            b_frame = revcomp_codes(b_seq)
+            bb = int(ov.b_len[k]) - int(ov.b_end[k])
+            be = int(ov.b_len[k]) - int(ov.b_start[k])
+        else:
+            b_frame = b_seq
+            bb, be = int(ov.b_start[k]), int(ov.b_end[k])
+        ra, rb = MY.align_with_trace(
+            a_seq, b_frame, int(ov.a_start[k]), int(ov.a_end[k]), bb, be,
+            ov.trace_pairs(k), tspace=ov.tspace,
+        )
+        assert len(ra) == len(rb)
+        np.testing.assert_array_equal(ra[ra != MY.GAP], a_seq[ov.a_start[k] : ov.a_end[k]])
+        np.testing.assert_array_equal(rb[rb != MY.GAP], b_frame[bb:be])
+        # high identity in aligned columns
+        both = (ra != MY.GAP) & (rb != MY.GAP)
+        ident = (ra[both] == rb[both]).mean()
+        assert ident > 0.9, ident
+        checked += 1
+    assert checked == 10
+
+
+def test_falcon_consensus_recovers_template():
+    rng = np.random.default_rng(7)
+    template = rng.integers(0, 4, 400).astype(np.uint8)
+    tags_list = []
+    for j in range(12):
+        q = _mutate(rng, template, 0.04, 0.02, 0.02)
+        a = MY.align_pair(q, template, band_tolerance=150)
+        assert a.aligned
+        qrow = np.concatenate([[np.uint8(3)], a.q_aln])
+        trow = np.concatenate([[np.uint8(3)], a.t_aln])
+        tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
+    cns, low = FV.get_cns_from_align_tags(tags_list, len(template) + 1, 1)
+    # consensus should equal the template (coverage 12, independent errors)
+    assert len(cns) >= len(template) - 5
+    from difflib import SequenceMatcher
+
+    s1 = codes_to_str(cns)
+    s2 = codes_to_str(template)
+    sm = SequenceMatcher(None, s1, s2, autojunk=False)
+    assert sm.ratio() > 0.98, sm.ratio()
