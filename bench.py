@@ -1,0 +1,137 @@
+"""Benchmark: overlap-pileup records/s/chip on the filter-stage kernel chain.
+
+This is the BASELINE.json north-star metric: the pileup-scoring inner loop
+(profile coverage x2 + n_entries + masks + repeat annotation — the hot path
+of `Reads_filter`, filter.cpp:585-829) over a large synthetic overlap batch.
+
+vs_baseline compares against a single-thread numpy implementation of the
+same computation, standing in for the reference's scalar C++ event loops
+(the reference binaries are unbuildable here: its submodules are empty, and
+it publishes no numbers — BASELINE.md).  The numpy baseline is itself
+vectorized, so it overestimates the C++ scalar code; the ratio is therefore
+conservative.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_READS = 16_384
+N_OV = 2_000_000
+MAXLEN = 30_000
+RESO = 40
+CUT_OFF = 300
+MIN_COV = 5
+
+
+def synth(seed=0):
+    rng = np.random.default_rng(seed)
+    a_id = np.sort(rng.integers(0, N_READS, N_OV)).astype(np.int32)
+    read_len = rng.integers(MAXLEN // 2, MAXLEN, N_READS).astype(np.int32)
+    lo = rng.integers(0, MAXLEN // 2, N_OV)
+    span = rng.integers(1000, MAXLEN // 2, N_OV)
+    a_start = lo.astype(np.int32)
+    a_end = np.minimum(lo + span, read_len[a_id]).astype(np.int32)
+    return a_id, a_start, a_end, read_len
+
+
+def bench_device(a_id, a_start, a_end, read_len, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from hinge_tpu.ops import coverage as C
+
+    nb = MAXLEN // RESO + 3
+
+    @jax.jit
+    def step(a_id, a_start, a_end):
+        cov = C.profile_coverage(
+            a_id, a_start, a_end, jnp.int32(0), n_reads=N_READS, nb=nb, reso=RESO
+        )
+        cov_cut = C.profile_coverage(
+            a_id, a_start, a_end, jnp.int32(CUT_OFF), n_reads=N_READS, nb=nb, reso=RESO
+        )
+        me, cnt = C.pileup_stats(a_id, a_start, a_end, n_reads=N_READS, nb=1, reso=RESO)
+        ne = C.n_entries_from_max_event(me, cnt, RESO)
+        ne_cut = C.n_entries_from_max_event(me - CUT_OFF, cnt, RESO)
+        ms, mev, _, _ = C.coverage_mask(
+            jnp.maximum(cov_cut - MIN_COV, 0), ne_cut, reso=RESO
+        )
+        ann = C.repeat_annotation_mask(
+            cov, ne, ms, mev, jnp.int32(MIN_COV),
+            reso=RESO, coverage_fraction=3, min_thresh=10, max_thresh=20,
+            no_hinge_region=500,
+        )
+        return cov.sum(), ms, mev, ann.astype(jnp.int32).sum()
+
+    args = (jnp.asarray(a_id), jnp.asarray(a_start), jnp.asarray(a_end))
+    out = step(*args)  # compile
+    jax.block_until_ready(out)
+    # warm-up and calibrate iteration count for >= ~1s of device time
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(*args))
+    probe = time.perf_counter() - t0
+    iters = max(iters, int(1.0 / max(probe, 1e-4)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return N_OV / dt, dt
+
+
+def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
+    """Same computation, vectorized numpy on host (reference-CPU stand-in)."""
+    nb = MAXLEN // RESO + 3
+
+    def step():
+        cov = np.zeros((N_READS, nb + 1), dtype=np.int32)
+        for cutoff, arr in ((0, None), (CUT_OFF, None)):
+            grid = np.zeros((N_READS, nb + 1), dtype=np.int32)
+            sb = np.clip((a_start + cutoff) // RESO + 1, 0, nb)
+            eb = np.clip((a_end - cutoff) // RESO + 1, 0, nb)
+            np.add.at(grid, (a_id, sb), 1)
+            np.add.at(grid, (a_id, eb), -1)
+            c = np.cumsum(grid[:, :nb], axis=1)
+            if cutoff == 0:
+                cov0 = c
+            else:
+                covc = c
+        red = np.maximum(covc - MIN_COV, 0)
+        pos = red > 0
+        # longest-run scan (vectorized flush detection)
+        prev = np.zeros_like(pos)
+        prev[:, 1:] = pos[:, :-1]
+        flush = (~pos) & prev
+        return cov0.sum() + int(flush.sum())
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step()
+    dt = (time.perf_counter() - t0) / iters
+    return N_OV / dt, dt
+
+
+def main():
+    a_id, a_start, a_end, read_len = synth()
+    rps, dt = bench_device(a_id, a_start, a_end, read_len)
+    base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
+    print(
+        json.dumps(
+            {
+                "metric": "overlap_pileup_records_per_s_per_chip",
+                "value": round(rps),
+                "unit": "records/s",
+                "vs_baseline": round(rps / base_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

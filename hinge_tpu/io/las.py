@@ -49,13 +49,21 @@ _HDR = np.dtype(
 def read_las(
     path: str,
     read_lengths: Optional[np.ndarray] = None,
+    use_native: bool = True,
 ) -> OverlapStore:
     """Parse a `.las` file into an OverlapStore.
 
     ``read_lengths`` supplies a_len/b_len (the `.las` itself has no lengths —
     the reference fetches them from the DB, LAInterface.cpp:1591-1592). If
     None, lengths are left as 0 and must be joined later.
+
+    Uses the native C++ parser (hinge_tpu.native) when available; falls back
+    to the pure-numpy implementation otherwise.
     """
+    if use_native:
+        out = _read_las_native(path, read_lengths)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         buf = f.read()
     novl = int(np.frombuffer(buf, dtype="<i8", count=1, offset=0)[0])
@@ -131,6 +139,61 @@ def read_las(
         trace_off=t_off,
         trace=trace,
         tspace=tspace,
+    )
+
+
+def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[OverlapStore]:
+    """C++ fast path (hinge_tpu/native/io_native.cpp)."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    novl = ctypes.c_int64()
+    tspace = ctypes.c_int32()
+    total_trace = ctypes.c_int64()
+    rcode = lib.las_scan(
+        path.encode(), ctypes.byref(novl), ctypes.byref(tspace), ctypes.byref(total_trace)
+    )
+    if rcode == -2:
+        raise ValueError(f"{path}: truncated las file")
+    if rcode == -3:
+        raise ValueError(f"{path}: trailing bytes after records")
+    if rcode != 0:
+        return None
+    n = int(novl.value)
+    cols = {k: np.zeros(n, dtype=INT) for k in (
+        "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()
+    )}
+    trace_off = np.zeros(n, dtype=np.int64)
+    trace = np.zeros(int(total_trace.value), dtype=np.uint16)
+    if read_lengths is not None:
+        rl = np.ascontiguousarray(read_lengths, dtype=np.int32)
+        rl_ptr = rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_reads = len(rl)
+    else:
+        rl_ptr = None
+        n_reads = 0
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    rcode = lib.las_parse(
+        path.encode(), rl_ptr, ctypes.c_int64(n_reads),
+        ptr(cols["a_id"], ctypes.c_int32), ptr(cols["b_id"], ctypes.c_int32),
+        ptr(cols["a_len"], ctypes.c_int32), ptr(cols["b_len"], ctypes.c_int32),
+        ptr(cols["a_start"], ctypes.c_int32), ptr(cols["a_end"], ctypes.c_int32),
+        ptr(cols["b_start"], ctypes.c_int32), ptr(cols["b_end"], ctypes.c_int32),
+        ptr(cols["rc"], ctypes.c_int32), ptr(cols["diffs"], ctypes.c_int32),
+        ptr(cols["tlen"], ctypes.c_int32), ptr(trace_off, ctypes.c_int64),
+        ptr(trace, ctypes.c_uint16),
+    )
+    if rcode != 0:
+        return None
+    return OverlapStore(
+        trace_off=trace_off, trace=trace, tspace=int(tspace.value), **cols
     )
 
 

@@ -1,0 +1,199 @@
+// Native IO core: fast DALIGNER .las scanning/parsing and FASTA indexing.
+//
+// The reference's data-access layer is C (vendored DB.c/align.c + the
+// LAInterface facade, src/lib/LAInterface.cpp).  This library is its
+// TPU-framework equivalent: it parses overlap records into the columnar
+// struct-of-arrays layout the JAX kernels consume (one contiguous int32
+// column per field + a flat uint16 trace array), so Python only wraps
+// pointers.  Exposed through a plain C ABI for ctypes.
+//
+// Record layout per .las spec (align.c:3040-3063): 40-byte frame
+// [tlen diffs abpos bbpos aepos bepos flags aread bread pad] followed by
+// tlen trace values of uint8 (tspace <= 125) or uint16.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kRecBytes = 40;
+constexpr int kTraceXovr = 125;
+
+struct Frame {
+  int32_t tlen, diffs, abpos, bbpos, aepos, bepos;
+  uint32_t flags;
+  int32_t aread, bread, pad;
+};
+static_assert(sizeof(Frame) == kRecBytes, "frame layout");
+
+struct FileBuf {
+  std::vector<char> data;
+  bool ok = false;
+};
+
+FileBuf slurp(const char* path) {
+  FileBuf fb;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return fb;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  fb.data.resize(static_cast<size_t>(n));
+  if (n > 0 && std::fread(fb.data.data(), 1, static_cast<size_t>(n), f) !=
+                   static_cast<size_t>(n)) {
+    std::fclose(f);
+    return fb;
+  }
+  std::fclose(f);
+  fb.ok = true;
+  return fb;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: sizes. Returns 0 on success, negative error codes otherwise.
+//   -1 open/read failure, -2 truncated, -3 trailing bytes
+int las_scan(const char* path, int64_t* novl, int32_t* tspace,
+             int64_t* total_trace_vals) {
+  FileBuf fb = slurp(path);
+  if (!fb.ok || fb.data.size() < 12) return -1;
+  const char* p = fb.data.data();
+  int64_t n;
+  std::memcpy(&n, p, 8);
+  int32_t tsp;
+  std::memcpy(&tsp, p + 8, 4);
+  const int tbytes = (tsp <= kTraceXovr) ? 1 : 2;
+  size_t pos = 12;
+  int64_t tot = 0;
+  for (int64_t k = 0; k < n; k++) {
+    if (pos + kRecBytes > fb.data.size()) return -2;
+    int32_t tlen;
+    std::memcpy(&tlen, p + pos, 4);
+    if (tlen < 0) return -2;
+    tot += tlen;
+    pos += kRecBytes + static_cast<size_t>(tbytes) * tlen;
+  }
+  if (pos > fb.data.size()) return -2;
+  if (pos != fb.data.size()) return -3;
+  *novl = n;
+  *tspace = tsp;
+  *total_trace_vals = tot;
+  return 0;
+}
+
+// Pass 2: fill caller-allocated columns. b coords are flipped to B's
+// forward strand for reverse-complement records (LAInterface.cpp:1606-1626)
+// when b_len (per-read lengths indexed by bread) is non-null.
+int las_parse(const char* path, const int32_t* read_len, int64_t n_reads,
+              int32_t* a_id, int32_t* b_id, int32_t* a_len, int32_t* b_len,
+              int32_t* a_start, int32_t* a_end, int32_t* b_start,
+              int32_t* b_end, int32_t* rc, int32_t* diffs, int32_t* tlen_out,
+              int64_t* trace_off, uint16_t* trace) {
+  FileBuf fb = slurp(path);
+  if (!fb.ok || fb.data.size() < 12) return -1;
+  const char* p = fb.data.data();
+  int64_t n;
+  std::memcpy(&n, p, 8);
+  int32_t tsp;
+  std::memcpy(&tsp, p + 8, 4);
+  const int tbytes = (tsp <= kTraceXovr) ? 1 : 2;
+  size_t pos = 12;
+  int64_t toff = 0;
+  for (int64_t k = 0; k < n; k++) {
+    if (pos + kRecBytes > fb.data.size()) return -2;
+    Frame fr;
+    std::memcpy(&fr, p + pos, kRecBytes);
+    pos += kRecBytes;
+    const int32_t rcv = static_cast<int32_t>(fr.flags & 0x1u);
+    a_id[k] = fr.aread;
+    b_id[k] = fr.bread;
+    const int32_t al =
+        (read_len && fr.aread < n_reads) ? read_len[fr.aread] : 0;
+    const int32_t bl =
+        (read_len && fr.bread < n_reads) ? read_len[fr.bread] : 0;
+    a_len[k] = al;
+    b_len[k] = bl;
+    a_start[k] = fr.abpos;
+    a_end[k] = fr.aepos;
+    if (rcv) {
+      b_start[k] = bl - fr.bepos;
+      b_end[k] = bl - fr.bbpos;
+    } else {
+      b_start[k] = fr.bbpos;
+      b_end[k] = fr.bepos;
+    }
+    rc[k] = rcv;
+    diffs[k] = fr.diffs;
+    tlen_out[k] = fr.tlen;
+    trace_off[k] = toff;
+    if (pos + static_cast<size_t>(tbytes) * fr.tlen > fb.data.size())
+      return -2;
+    if (tbytes == 1) {
+      const uint8_t* t8 = reinterpret_cast<const uint8_t*>(p + pos);
+      for (int32_t j = 0; j < fr.tlen; j++) trace[toff + j] = t8[j];
+    } else {
+      std::memcpy(trace + toff, p + pos, 2 * static_cast<size_t>(fr.tlen));
+    }
+    toff += fr.tlen;
+    pos += static_cast<size_t>(tbytes) * fr.tlen;
+  }
+  return 0;
+}
+
+// 2-bit base packing/unpacking (DAZZ_DB Compress_Read convention:
+// first base in the high bits, DB.c:288-308).
+void pack_bases(const uint8_t* codes, int64_t n, uint8_t* out) {
+  int64_t nby = (n + 3) / 4;
+  for (int64_t i = 0; i < nby; i++) {
+    uint8_t b = 0;
+    for (int j = 0; j < 4; j++) {
+      int64_t idx = 4 * i + j;
+      uint8_t c = (idx < n) ? codes[idx] : 0;
+      b = static_cast<uint8_t>((b << 2) | (c & 3));
+    }
+    out[i] = b;
+  }
+}
+
+void unpack_bases(const uint8_t* packed, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    out[i] = (packed[i / 4] >> (6 - 2 * (i % 4))) & 3;
+  }
+}
+
+// FASTA scan: record offsets + lengths so Python can build the store
+// without per-line work. Returns number of sequences, or -1.
+int64_t fasta_scan(const char* path, int64_t max_records, int64_t* seq_len,
+                   int64_t* name_off, int64_t* name_len) {
+  FileBuf fb = slurp(path);
+  if (!fb.ok) return -1;
+  const char* p = fb.data.data();
+  const size_t n = fb.data.size();
+  int64_t cnt = -1;
+  size_t i = 0;
+  while (i < n) {
+    if (p[i] == '>') {
+      cnt++;
+      if (cnt >= max_records) return -2;
+      size_t j = i + 1;
+      while (j < n && p[j] != '\n' && p[j] != ' ' && p[j] != '\t') j++;
+      name_off[cnt] = static_cast<int64_t>(i + 1);
+      name_len[cnt] = static_cast<int64_t>(j - (i + 1));
+      seq_len[cnt] = 0;
+      while (j < n && p[j] != '\n') j++;
+      i = j + 1;
+    } else {
+      size_t j = i;
+      while (j < n && p[j] != '\n') j++;
+      if (cnt >= 0) seq_len[cnt] += static_cast<int64_t>(j - i);
+      i = j + 1;
+    }
+  }
+  return cnt + 1;
+}
+
+}  // extern "C"

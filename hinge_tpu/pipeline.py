@@ -1,0 +1,120 @@
+"""One-shot end-to-end assembly driver.
+
+Mirrors the reference's demo scripts (`demo/ecoli_demo/run.sh`,
+`scripts/pipeline_consensus.py:26-98`) as a single call:
+
+    filter -> maximal -> layout -> clip -> draft-path -> draft ->
+    correct-head -> map (built-in, replacing HPC.daligner) -> consensus -> gfa
+
+Each stage writes the reference's intermediate files into the workdir, so
+the pipeline is restartable at any stage boundary and individual stages can
+be re-run via the CLI — the intermediate-file contract *is* the checkpoint
+system (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def assemble(
+    fasta: str = "",
+    paf: str = "",
+    db: str = "",
+    las: str = "",
+    config: str = "",
+    workdir: str = ".",
+    nanopore: bool = False,
+    prefix: str = "asm",
+    log=print,
+) -> dict:
+    from hinge_tpu.config import Config, nominal_config
+    from hinge_tpu.data.overlaps import str_to_codes
+    from hinge_tpu.io.fasta import correct_head, read_fasta
+    from hinge_tpu.io.las import read_las
+    from hinge_tpu.io.paf import read_paf
+    from hinge_tpu.io.dazz_db import read_db
+    from hinge_tpu.overlap.mapper import map_reads_to_targets
+    from hinge_tpu.stages.clip import run_clip
+    from hinge_tpu.stages.consensus import run_consensus
+    from hinge_tpu.stages.draft import run_draft
+    from hinge_tpu.stages.draft_path import run_draft_path
+    from hinge_tpu.stages.filter import run_filter
+    from hinge_tpu.stages.gfa import run_gfa
+    from hinge_tpu.stages.layout import load_marked, run_layout
+    from hinge_tpu.stages.maximal import run_maximal
+
+    os.makedirs(workdir, exist_ok=True)
+    p = os.path.join(workdir, prefix)
+    cfg = Config.from_ini(config) if config else nominal_config()
+
+    t0 = time.time()
+    if db:
+        rs = read_db(db)
+    elif fasta:
+        rs = read_fasta(fasta)
+    else:
+        raise ValueError("need --fasta or --db")
+    if las:
+        parts = [read_las(las, read_lengths=rs.length)]
+    elif paf:
+        parts = [read_paf(paf)]
+    else:
+        raise ValueError("need --las or --paf")
+    has_db = bool(las)
+    log(f"[assemble] {rs.n_reads} reads, {sum(x.n for x in parts)} overlaps "
+        f"({time.time()-t0:.1f}s)")
+
+    t = time.time()
+    fres = run_filter(rs, parts, cfg, out_prefix=p)
+    log(f"[assemble] filter done ({time.time()-t:.1f}s)")
+
+    t = time.time()
+    eff_s = fres.maskvec[:, 0].astype(np.int32)
+    eff_e = fres.maskvec[:, 1].astype(np.int32)
+    mres = run_maximal(rs, parts, cfg, eff_s, eff_e, out_prefix=p, has_db=has_db)
+    log(f"[assemble] maximal: {int(mres.active.sum())}/{rs.n_reads} reads "
+        f"({time.time()-t:.1f}s)")
+
+    t = time.time()
+    lres = run_layout(
+        rs, parts, cfg, eff_s, eff_e, mres.active,
+        load_marked(p + ".repeat.txt"), load_marked(p + ".hinges.txt"),
+        out_prefix=p, filter_prefix=p, has_db=has_db,
+    )
+    log(f"[assemble] layout: {len(lres.edges_hinges)} edges ({time.time()-t:.1f}s)")
+
+    t = time.time()
+    graphs = run_clip(p + ".edges.hinges", p + ".hinge.list", "1", cfg,
+                      nanopore=nanopore, write_viz=False)
+    G_final = graphs.get("G3", graphs["G2"])
+    log(f"[assemble] clip: {len(G_final)} graph nodes ({time.time()-t:.1f}s)")
+
+    t = time.time()
+    lines, _ = run_draft_path(
+        G_final, rs.length,
+        out_edges_list=p + ".edges.list", out_graphml=p + "_draft.graphml",
+    )
+    contigs = run_draft(rs, parts, cfg, mres.active, lines,
+                        out_fasta=p + ".draft.fasta")
+    log(f"[assemble] draft: {len(contigs)} contigs ({time.time()-t:.1f}s)")
+
+    t = time.time()
+    correct_head(p + ".draft.fasta", p + ".draft.pb.fasta",
+                 os.path.join(workdir, "draft_map.txt"))
+    targets = [str_to_codes(seq) for _, seq in contigs]
+    aln = map_reads_to_targets(targets, rs)
+    cons = run_consensus(contigs, rs, aln, cfg, out_fasta=p + ".consensus.fasta")
+    log(f"[assemble] consensus: {len(cons)} contigs ({time.time()-t:.1f}s)")
+
+    gfa_lines = run_gfa(
+        p + "_draft.graphml", os.path.join(workdir, "draft_map.txt"),
+        p + ".consensus.fasta",
+        out_gfa=p + "_consensus.gfa",
+    )
+    log(f"[assemble] total {time.time()-t0:.1f}s -> {p}_consensus.gfa")
+    return dict(contigs=cons, draft=contigs, graphs=graphs, gfa=gfa_lines)

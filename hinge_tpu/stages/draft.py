@@ -384,6 +384,11 @@ def run_draft(
 ) -> List[Tuple[str, str]]:
     """draft.cpp main: returns [(contig name, sequence)]."""
     d = cfg.draft
+    # the reference's call-site defaults are -1 (draft.cpp:970-974) and it
+    # simply misbehaves without an ini; we fall back to nominal.ini values
+    tspace = d.tspace if d.tspace > 0 else 900
+    edge_safe = d.edge_safe if d.edge_safe > 0 else 100
+    min_cov2 = d.min_cov if d.min_cov > 0 else 10
     # merge parts, keep only maximal x maximal (draft.cpp:880-913)
     keep_stores = []
     for part in parts:
@@ -407,7 +412,7 @@ def run_draft(
     for (name, edges, one_read, two_read, cs, ce) in parse_edges_list(edges_list_path_or_lines):
         res = draft_assembly_ctg(
             edges, ov, rs, row_lists, pileup_rows,
-            d.tspace, d.edge_safe, d.min_cov, cs, ce, one_read, two_read,
+            tspace, edge_safe, min_cov2, cs, ce, one_read, two_read,
         )
         if res is None:
             continue

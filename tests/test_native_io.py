@@ -1,0 +1,61 @@
+"""Native C++ las parser vs pure-Python implementation."""
+
+import numpy as np
+import pytest
+
+from hinge_tpu.io.las import read_las, write_las
+from hinge_tpu.native import get_lib
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_native_matches_python(lib, small_sim, tmp_path):
+    ov = small_sim["overlaps"]
+    rs = small_sim["read_store"]
+    path = str(tmp_path / "x.las")
+    write_las(path, ov)
+    a = read_las(path, read_lengths=rs.length, use_native=True)
+    b = read_las(path, read_lengths=rs.length, use_native=False)
+    for f in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split():
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+    np.testing.assert_array_equal(a.trace_off, b.trace_off)
+    np.testing.assert_array_equal(a.trace, b.trace)
+    assert a.tspace == b.tspace
+
+
+def test_native_truncation_raises(lib, small_sim, tmp_path):
+    ov = small_sim["overlaps"]
+    path = str(tmp_path / "t.las")
+    write_las(path, ov)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        read_las(path, use_native=True)
+
+
+def test_native_pack_unpack(lib):
+    import ctypes
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 1001).astype(np.uint8)
+    packed = np.zeros((len(codes) + 3) // 4, dtype=np.uint8)
+    out = np.zeros(len(codes), dtype=np.uint8)
+    lib.pack_bases(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(codes)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    lib.unpack_bases(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(codes)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    np.testing.assert_array_equal(out, codes)
+    # matches the DAZZ_DB python unpacking convention (first base high bits)
+    assert packed[0] == ((codes[0] << 6) | (codes[1] << 4) | (codes[2] << 2) | codes[3])
