@@ -284,6 +284,18 @@ def cmd_fasta2q(args):
     print(f"[fasta2q] -> {args.output}")
 
 
+def cmd_gt(args):
+    """Ground-truth mapping: reads vs reference -> mapping.json
+    (replaces scripts/run_mapping.py's LA4Awesome run)."""
+    from hinge_tpu.graph.groundtruth import run_mapping
+    from hinge_tpu.io.fasta import read_fasta
+
+    rs = _load_reads(args)
+    ref = read_fasta(args.reference)
+    run_mapping(rs, ref, out_json=args.out)
+    print(f"[gt] mapping -> {args.out}")
+
+
 def cmd_assemble(args):
     """One-shot pipeline: overlaps -> consensus GFA (our extension)."""
     from hinge_tpu.pipeline import assemble
@@ -378,6 +390,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(func=cmd_fasta2q)
+
+    sp = sub.add_parser("gt")
+    sp.add_argument("reference")
+    sp.add_argument("--db", default="")
+    sp.add_argument("--fasta", default="")
+    sp.add_argument("--out", "-o", required=True)
+    sp.set_defaults(func=cmd_gt)
 
     sp = sub.add_parser("assemble")
     sp.add_argument("--fasta", default="")

@@ -1,0 +1,179 @@
+"""Batched global alignment of fixed-width sequence windows.
+
+The draft/consensus stages align one ~tspace-bp window per trace point —
+millions of tiny independent alignments per genome.  The scalar Myers
+aligner (hinge_tpu.ops.myers) does one window at a time in Python; this
+module fills the DP matrices of a whole *batch* of windows as one XLA
+computation:
+
+    row recurrence  D[i,j] = min(D[i-1,j]+1, D[i,j-1]+1, D[i-1,j-1]+sub)
+
+with the within-row left-to-right dependency resolved by the min-plus
+prefix trick  D[i,j] = j + cummin_k<=j (E[i,k] - k)  where
+E[i,j] = min(D[i-1,j]+1, D[i-1,j-1]+sub).  One lax.scan over rows,
+vmapped over the batch, everything (8,128)-shaped for the VPU.
+
+Traceback runs lock-step across the batch in numpy: all windows walk their
+move matrices together, one vectorized step per iteration (<= 2W steps
+total) — no per-window Python loops.
+
+Windows are padded to W (default 128, fits tspace=100 + indel slack); the
+DP is exact for the unpadded lengths because padded cells simply extend the
+band and the traceback starts at (m, n).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GAP = 4
+BIG = np.int32(1 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _fill_batch(q: jnp.ndarray, t: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray, *, w: int):
+    """DP cost matrices for a batch.
+
+    q, t: uint8 [B, W]; m, n: int32 [B] true lengths.
+    Returns D: int32 [B, W+1, W+1] (cost of aligning q[:i] with t[:j]).
+    """
+    B = q.shape[0]
+    jj = jnp.arange(w + 1, dtype=jnp.int32)
+
+    def row_step(prev_row, qi):
+        # prev_row: [B, W+1] D[i-1, :]; qi: [B] query base of row i
+        sub = jnp.where(t == qi[:, None], 0, 1).astype(jnp.int32)  # [B, W]
+        diag = prev_row[:, :-1] + sub
+        up = prev_row[:, 1:] + 1
+        e = jnp.minimum(diag, up)  # E[i, j] for j = 1..W
+        # D[i, 0] = i  (gap prefix) — fold into the prefix-min
+        first = prev_row[:, :1] + 1  # = i
+        e_full = jnp.concatenate([first, e], axis=1)  # [B, W+1]
+        g = e_full - jj[None, :]
+        gmin = jax.lax.associative_scan(jnp.minimum, g, axis=1)
+        row = jnp.minimum(e_full, gmin + jj[None, :])
+        return row, row
+
+    row0 = jnp.broadcast_to(jj[None, :], (B, w + 1)).astype(jnp.int32)
+    _, rows = jax.lax.scan(row_step, row0, jnp.swapaxes(q, 0, 1).astype(jnp.int32))
+    D = jnp.concatenate([row0[:, None, :], jnp.swapaxes(rows, 0, 1)], axis=1)
+    return D
+
+
+def align_batch(
+    qs: Sequence[np.ndarray], ts: Sequence[np.ndarray], w: int = 128
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Globally align each (q, t) pair; returns [(q_row, t_row)] with gap
+    code 4, consuming both sequences entirely (like myers.align_full)."""
+    B = len(qs)
+    if B == 0:
+        return []
+    # pad the batch to a power-of-two bucket so jit compiles once per bucket
+    Bp = 1
+    while Bp < B:
+        Bp *= 2
+    q = np.zeros((Bp, w), dtype=np.uint8)
+    t = np.zeros((Bp, w), dtype=np.uint8)
+    m = np.zeros(Bp, dtype=np.int32)
+    n = np.zeros(Bp, dtype=np.int32)
+    overflow = []
+    for k in range(B):
+        if len(qs[k]) > w or len(ts[k]) > w:
+            overflow.append(k)
+            continue
+        m[k] = len(qs[k])
+        n[k] = len(ts[k])
+        q[k, : m[k]] = qs[k]
+        t[k, : n[k]] = ts[k]
+
+    D = np.asarray(_fill_batch(jnp.asarray(q), jnp.asarray(t), jnp.asarray(m), jnp.asarray(n), w=w))
+    D = D[:B]
+    q, t, m, n = q[:B], t[:B], m[:B], n[:B]
+
+    # lock-step traceback
+    i = m.astype(np.int64).copy()
+    j = n.astype(np.int64).copy()
+    max_steps = int((m + n).max()) if B else 0
+    # moves recorded back-to-front: 0 diag, 1 up (consume q), 2 left (consume t)
+    mv = np.zeros((B, max_steps), dtype=np.int8)
+    cnt = np.zeros(B, dtype=np.int64)
+    bidx = np.arange(B)
+    for _ in range(max_steps):
+        active = (i > 0) | (j > 0)
+        if not active.any():
+            break
+        ii = np.maximum(i, 0)
+        jj_ = np.maximum(j, 0)
+        cur = D[bidx, ii, jj_]
+        can_diag = (i > 0) & (j > 0)
+        sub = np.where(
+            q[bidx, np.maximum(i - 1, 0)] == t[bidx, np.maximum(j - 1, 0)], 0, 1
+        )
+        diag_ok = can_diag & (D[bidx, np.maximum(i - 1, 0), np.maximum(j - 1, 0)] + sub == cur)
+        up_ok = (i > 0) & (D[bidx, np.maximum(i - 1, 0), jj_] + 1 == cur)
+        move = np.where(diag_ok, 0, np.where(up_ok, 1, 2)).astype(np.int8)
+        move = np.where(active, move, -1)
+        sel = active
+        mv[bidx[sel], cnt[sel]] = move[sel]
+        cnt[sel] += 1
+        i = np.where(sel & (move != 2), i - 1, i)
+        j = np.where(sel & (move != 1), j - 1, j)
+
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    from hinge_tpu.ops.myers import align_full as _scalar_align_full
+
+    for k in range(B):
+        if k in set(overflow):
+            out.append(_scalar_align_full(qs[k], ts[k]))
+            continue
+        seq = mv[k, : cnt[k]][::-1]
+        L = len(seq)
+        q_row = np.full(L, GAP, dtype=np.uint8)
+        t_row = np.full(L, GAP, dtype=np.uint8)
+        qpos = np.cumsum(seq != 2) - (seq != 2)
+        tpos = np.cumsum(seq != 1) - (seq != 1)
+        qc = seq != 2
+        tc = seq != 1
+        q_row[qc] = qs[k][qpos[qc]]
+        t_row[tc] = ts[k][tpos[tc]]
+        out.append((q_row, t_row))
+    return out
+
+
+def align_with_trace_batch(
+    a_seq: np.ndarray,
+    b_seq: np.ndarray,
+    a_start: int,
+    a_end: int,
+    b_start_raw: int,
+    b_end_raw: int,
+    trace_pairs: np.ndarray,
+    tspace: int = 100,
+    w: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched drop-in for myers.align_with_trace: all windows of one
+    overlap aligned in a single batch."""
+    a_bounds = [a_start]
+    nb = a_start
+    while True:
+        nb = (nb // tspace + 1) * tspace
+        if nb >= a_end:
+            break
+        a_bounds.append(nb)
+    a_bounds.append(a_end)
+    b_bounds = [b_start_raw]
+    for jx in range(len(a_bounds) - 2):
+        b_bounds.append(b_bounds[-1] + int(trace_pairs[jx][1]))
+    b_bounds.append(b_end_raw)
+
+    qs = [a_seq[a_bounds[k] : a_bounds[k + 1]] for k in range(len(a_bounds) - 1)]
+    ts = [b_seq[b_bounds[k] : b_bounds[k + 1]] for k in range(len(b_bounds) - 1)]
+    rows = align_batch(qs, ts, w=w)
+    a_chunks = [r[0] for r in rows]
+    b_chunks = [r[1] for r in rows]
+    return np.concatenate(a_chunks), np.concatenate(b_chunks)

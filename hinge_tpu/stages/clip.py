@@ -43,6 +43,13 @@ def run_clip(
         S.add_chimera_flags(G, prefix)
     if os.path.isfile(prefix + ".edges.skipped"):
         S.mark_skipped_edges(G, prefix + ".edges.skipped")
+    if mapping_json:
+        import json
+
+        from hinge_tpu.graph.groundtruth import add_groundtruth
+
+        with open(mapping_json) as f:
+            add_groundtruth(G, json.load(f), in_hinges, out_hinges)
 
     G0 = G.copy()
     G0 = S.dead_end_clipping_sym(G0, 10)

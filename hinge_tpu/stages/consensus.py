@@ -23,6 +23,7 @@ import numpy as np
 
 from hinge_tpu.config import Config
 from hinge_tpu.data.overlaps import OverlapStore, ReadStore, revcomp_codes
+from hinge_tpu.ops import batch_align as BA
 from hinge_tpu.ops import myers as MY
 from hinge_tpu.stages.draft import codes_to_text
 
@@ -141,9 +142,9 @@ def _contig_read_rows(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore
         b_frame = read
         bb, be = int(aln.b_start[r]), int(aln.b_end[r])
     if aln.tlen[r] > 0:
-        return MY.align_with_trace(
+        return BA.align_with_trace_batch(
             tmpl, b_frame, int(aln.a_start[r]), int(aln.a_end[r]), bb, be,
-            aln.trace_pairs(r), tspace=aln.tspace, band_tolerance=band,
+            aln.trace_pairs(r), tspace=aln.tspace,
         )
     return MY.align_full(
         tmpl[int(aln.a_start[r]) : int(aln.a_end[r])], b_frame[bb:be], band

@@ -18,6 +18,7 @@ import numpy as np
 
 from hinge_tpu.config import Config
 from hinge_tpu.data.overlaps import OverlapStore, ReadStore, revcomp_codes
+from hinge_tpu.ops import batch_align as BA
 from hinge_tpu.ops import falcon_vote as FV
 from hinge_tpu.ops import myers as MY
 
@@ -112,11 +113,11 @@ def _aln_rows_for_edge(ov: OverlapStore, rs: ReadStore, row: int, band: int) -> 
     else:
         b_frame = b_seq
         bb_raw, be_raw = int(ov.b_start[row]), int(ov.b_end[row])
-    return MY.align_with_trace(
+    return BA.align_with_trace_batch(
         a_seq, b_frame,
         int(ov.a_start[row]), int(ov.a_end[row]),
         bb_raw, be_raw,
-        ov.trace_pairs(row), tspace=ov.tspace, band_tolerance=band,
+        ov.trace_pairs(row), tspace=ov.tspace,
     )
 
 

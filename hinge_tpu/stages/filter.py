@@ -77,29 +77,46 @@ def _self_match_reads(ov: OverlapStore, rs: ReadStore) -> Set[int]:
     return set(np.nonzero((covs > 4.5) & (rs.length > 10000))[0].tolist())
 
 
+#: reads per device block — bounds the coverage grid to
+#: CHUNK_READS x nb x 4B (~25MB at nb=750); larger read sets stream through
+#: fixed-shape kernel invocations (one compile per nb).
+CHUNK_READS = 8192
+
+
 def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
-    """Coverage grids for a contiguous read range. Returns numpy arrays."""
-    a_rel = (ov.a_id[sel] - r_begin).astype(np.int32)
-    a_s = ov.a_start[sel].astype(np.int32)
-    a_e = ov.a_end[sel].astype(np.int32)
-    cov = np.asarray(
-        C.profile_coverage(
-            jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
-            jnp.int32(0), n_reads=n_chunk, nb=nb, reso=reso,
-        )
-    )
-    cov_cut = np.asarray(
-        C.profile_coverage(
-            jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
-            jnp.int32(cut_off), n_reads=n_chunk, nb=nb, reso=reso,
-        )
-    )
-    me, cnt = C.pileup_stats(
-        jnp.asarray(a_rel), jnp.asarray(a_s), jnp.asarray(a_e),
-        n_reads=n_chunk, nb=1, reso=reso,
-    )
-    ne = np.asarray(C.n_entries_from_max_event(me, cnt, reso))
-    ne_cut = np.asarray(C.n_entries_from_max_event(me - cut_off, cnt, reso))
+    """Coverage grids for a contiguous read range, chunked over reads so
+    device memory stays bounded. Returns numpy arrays."""
+    a_rel_all = (ov.a_id[sel] - r_begin).astype(np.int32)
+    a_s_all = ov.a_start[sel].astype(np.int32)
+    a_e_all = ov.a_end[sel].astype(np.int32)
+
+    cov = np.zeros((n_chunk, nb), dtype=np.int32)
+    cov_cut = np.zeros((n_chunk, nb), dtype=np.int32)
+    ne = np.zeros(n_chunk, dtype=np.int32)
+    ne_cut = np.zeros(n_chunk, dtype=np.int32)
+
+    # rows are sorted by a_id: binary-search the chunk boundaries
+    for base in range(0, n_chunk, CHUNK_READS):
+        hi = min(base + CHUNK_READS, n_chunk)
+        lo_row = np.searchsorted(a_rel_all, base, side="left")
+        hi_row = np.searchsorted(a_rel_all, hi, side="left")
+        a_rel = jnp.asarray(a_rel_all[lo_row:hi_row] - base)
+        a_s = jnp.asarray(a_s_all[lo_row:hi_row])
+        a_e = jnp.asarray(a_e_all[lo_row:hi_row])
+        span = hi - base
+        cov[base:hi] = np.asarray(
+            C.profile_coverage(a_rel, a_s, a_e, jnp.int32(0),
+                               n_reads=CHUNK_READS, nb=nb, reso=reso)
+        )[:span]
+        cov_cut[base:hi] = np.asarray(
+            C.profile_coverage(a_rel, a_s, a_e, jnp.int32(cut_off),
+                               n_reads=CHUNK_READS, nb=nb, reso=reso)
+        )[:span]
+        me, cnt = C.pileup_stats(a_rel, a_s, a_e, n_reads=CHUNK_READS, nb=1, reso=reso)
+        ne[base:hi] = np.asarray(C.n_entries_from_max_event(me, cnt, reso))[:span]
+        ne_cut[base:hi] = np.asarray(
+            C.n_entries_from_max_event(me - cut_off, cnt, reso)
+        )[:span]
     return cov, cov_cut, ne, ne_cut
 
 
@@ -182,12 +199,23 @@ def run_filter(
         if MIN_COV < cov_est // 3:
             MIN_COV = cov_est // 3
 
-        # ---- masks (filter.cpp:696-789) ----
+        # ---- masks (filter.cpp:696-789), chunked like the profiles ----
         reduced = np.maximum(cov_cut - MIN_COV, 0).astype(np.int32)
-        ms, me_, msc, mec = (
-            np.asarray(x)
-            for x in C.coverage_mask(jnp.asarray(reduced), jnp.asarray(ne_cut), reso=reso)
-        )
+        ms = np.zeros(n_chunk, dtype=np.int32)
+        me_ = np.zeros(n_chunk, dtype=np.int32)
+        msc = np.zeros(n_chunk, dtype=np.int32)
+        mec = np.zeros(n_chunk, dtype=np.int32)
+        for base in range(0, n_chunk, CHUNK_READS):
+            hi = min(base + CHUNK_READS, n_chunk)
+            span = hi - base
+            red_pad = np.zeros((CHUNK_READS, reduced.shape[1]), dtype=np.int32)
+            red_pad[:span] = reduced[base:hi]
+            ne_pad = np.zeros(CHUNK_READS, dtype=np.int32)
+            ne_pad[:span] = ne_cut[base:hi]
+            r = [np.asarray(x) for x in C.coverage_mask(
+                jnp.asarray(red_pad), jnp.asarray(ne_pad), reso=reso)]
+            ms[base:hi], me_[base:hi] = r[0][:span], r[1][:span]
+            msc[base:hi], mec[base:hi] = r[2][:span], r[3][:span]
 
         # telomere flags need start/end coverage of the max run
         if delete_telomere:
@@ -228,20 +256,30 @@ def run_filter(
             else:
                 maskvec[i] = (QV_mask[i, 0], QV_mask[i, 1])
 
-        # ---- repeat annotation (filter.cpp:796-829) ----
-        ann_grid = np.asarray(
-            C.repeat_annotation_mask(
-                jnp.asarray(cov), jnp.asarray(ne),
-                jnp.asarray(maskvec[r_begin : r_end + 1, 0]),
-                jnp.asarray(maskvec[r_begin : r_end + 1, 1]),
-                jnp.int32(MIN_COV),
-                reso=reso,
-                coverage_fraction=f.coverage_frac_repeat_annotation,
-                min_thresh=f.min_repeat_annotation_threshold,
-                max_thresh=f.max_repeat_annotation_threshold,
-                no_hinge_region=f.no_hinge_region,
-            )
-        )
+        # ---- repeat annotation (filter.cpp:796-829), chunked ----
+        ann_grid = np.zeros((n_chunk, nb - 1), dtype=np.int8)
+        for base in range(0, n_chunk, CHUNK_READS):
+            hi = min(base + CHUNK_READS, n_chunk)
+            span = hi - base
+            cov_pad = np.zeros((CHUNK_READS, nb), dtype=np.int32)
+            cov_pad[:span] = cov[base:hi]
+            ne_pad = np.zeros(CHUNK_READS, dtype=np.int32)
+            ne_pad[:span] = ne[base:hi]
+            m0 = np.zeros(CHUNK_READS, dtype=np.int32)
+            m1 = np.zeros(CHUNK_READS, dtype=np.int32)
+            m0[:span] = maskvec[r_begin + base : r_begin + hi, 0]
+            m1[:span] = maskvec[r_begin + base : r_begin + hi, 1]
+            ann_grid[base:hi] = np.asarray(
+                C.repeat_annotation_mask(
+                    jnp.asarray(cov_pad), jnp.asarray(ne_pad),
+                    jnp.asarray(m0), jnp.asarray(m1), jnp.int32(MIN_COV),
+                    reso=reso,
+                    coverage_fraction=f.coverage_frac_repeat_annotation,
+                    min_thresh=f.min_repeat_annotation_threshold,
+                    max_thresh=f.max_repeat_annotation_threshold,
+                    no_hinge_region=f.no_hinge_region,
+                )
+            )[:span]
         for ri in range(n_chunk):
             i = r_begin + ri
             nz = np.nonzero(ann_grid[ri])[0]
