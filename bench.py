@@ -117,9 +117,48 @@ def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
     return N_OV / dt, dt
 
 
+def _device_bench_subprocess(timeout_s: int = 420):
+    """Run the device bench in a child process with a hard timeout.
+
+    The single TPU here sits behind a tunnel whose claim can wedge if a
+    previous client died mid-compile; a hung child must not stop the
+    benchmark from reporting. Returns (rps, backend) or (None, None).
+    """
+    import subprocess
+
+    code = (
+        "import json; from bench import synth, bench_device\n"
+        "a,b,c,d = synth()\n"
+        "rps, dt = bench_device(a,b,c,d)\n"
+        "import jax\n"
+        "print('BENCH_RESULT ' + json.dumps({'rps': rps, 'backend': jax.default_backend()}))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                d = json.loads(line[len("BENCH_RESULT "):])
+                return d["rps"], d["backend"]
+    except subprocess.TimeoutExpired:
+        pass
+    return None, None
+
+
 def main():
     a_id, a_start, a_end, read_len = synth()
-    rps, dt = bench_device(a_id, a_start, a_end, read_len)
+    rps, backend = _device_bench_subprocess()
+    if rps is None:
+        # TPU unreachable (wedged tunnel): measure on the CPU backend
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rps, _ = bench_device(a_id, a_start, a_end, read_len)
+        backend = "cpu-fallback"
     base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
     print(
         json.dumps(
@@ -128,6 +167,7 @@ def main():
                 "value": round(rps),
                 "unit": "records/s",
                 "vs_baseline": round(rps / base_rps, 2),
+                "backend": backend,
             }
         )
     )

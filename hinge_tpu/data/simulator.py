@@ -197,38 +197,58 @@ def exact_overlaps(
         specs.append((dst - src, dst, dst + L))
 
     n = len(reads)
-    emitted = set()
+    # flat segment table: (read, sa0, sa1, g0, g1); candidate pairs found by
+    # an interval sweep per spec — O(segments * coverage), not O(n^2)
+    seg_table = []
     for i in range(n):
-        ra = reads[i]
-        gm_a = ra.gmap
-        for j in range(n):
-            rb = reads[j]
-            gm_b = rb.gmap
-            for (sa0, sa1) in seg_lists[i]:
-                ga0, ga1 = int(gm_a[sa0]), int(gm_a[sa1 - 1]) + 1
-                for (sb0, sb1) in seg_lists[j]:
-                    gb0, gb1 = int(gm_b[sb0]), int(gm_b[sb1 - 1]) + 1
-                    for sh, w0, w1 in specs:
-                        if i == j and sh == 0:
-                            continue  # trivial self-identity
-                        g0 = max(ga0, gb0 + sh, w0)
-                        g1 = min(ga1, gb1 + sh, w1)
-                        if g1 - g0 < p.min_overlap:
-                            continue
-                        key = (i, j, g0, g1, sh)
-                        if key in emitted:
-                            continue
-                        emitted.add(key)
-                        yield_overlap = _make_overlap(
-                            reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1,
-                            g0, g1, sh, p
-                        )
-                        if yield_overlap is None:
-                            continue
-                        rec, tr = yield_overlap
-                        for k, v in rec.items():
-                            cols[k].append(v)
-                        trace_chunks.append(tr)
+        gm = reads[i].gmap
+        for (s0, s1) in seg_lists[i]:
+            seg_table.append((i, s0, s1, int(gm[s0]), int(gm[s1 - 1]) + 1))
+    seg_g0 = np.array([s[3] for s in seg_table], dtype=np.int64)
+    seg_g1 = np.array([s[4] for s in seg_table], dtype=np.int64)
+    order = np.argsort(seg_g0, kind="stable")
+    max_seg = int((seg_g1 - seg_g0).max()) if len(seg_table) else 0
+
+    emitted = set()
+    for sh, w0, w1 in specs:
+        # A-frame intervals: A segments as-is; B segments shifted by sh,
+        # clamped to the window
+        for ai in range(len(seg_table)):
+            i, sa0, sa1, ga0, ga1 = seg_table[ai]
+            a_lo = max(ga0, w0)
+            a_hi = min(ga1, w1)
+            if a_hi - a_lo < p.min_overlap:
+                continue
+            gm_a = reads[i].gmap
+            # B candidates: segments with (gb0+sh) < a_hi and (gb1+sh) > a_lo
+            lo_idx = np.searchsorted(seg_g0[order], a_lo - sh - max_seg, side="left")
+            for oi in range(lo_idx, len(order)):
+                bi = int(order[oi])
+                gb0 = int(seg_g0[bi])
+                if gb0 + sh >= a_hi:
+                    break
+                gb1 = int(seg_g1[bi])
+                j, sb0, sb1 = seg_table[bi][0], seg_table[bi][1], seg_table[bi][2]
+                if i == j and sh == 0:
+                    continue
+                g0 = max(ga0, gb0 + sh, w0)
+                g1 = min(ga1, gb1 + sh, w1)
+                if g1 - g0 < p.min_overlap:
+                    continue
+                key = (i, j, g0, g1, sh)
+                if key in emitted:
+                    continue
+                emitted.add(key)
+                gm_b = reads[j].gmap
+                yield_overlap = _make_overlap(
+                    reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1, g0, g1, sh, p
+                )
+                if yield_overlap is None:
+                    continue
+                rec, tr = yield_overlap
+                for k, v in rec.items():
+                    cols[k].append(v)
+                trace_chunks.append(tr)
 
     trace = (
         np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, dtype=np.uint16)

@@ -57,11 +57,13 @@ def _fill_batch(q: jnp.ndarray, t: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray, 
         g = e_full - jj[None, :]
         gmin = jax.lax.associative_scan(jnp.minimum, g, axis=1)
         row = jnp.minimum(e_full, gmin + jj[None, :])
-        return row, row
+        return row, row.astype(jnp.int16)
 
     row0 = jnp.broadcast_to(jj[None, :], (B, w + 1)).astype(jnp.int32)
     _, rows = jax.lax.scan(row_step, row0, jnp.swapaxes(q, 0, 1).astype(jnp.int32))
-    D = jnp.concatenate([row0[:, None, :], jnp.swapaxes(rows, 0, 1)], axis=1)
+    D = jnp.concatenate(
+        [row0[:, None, :].astype(jnp.int16), jnp.swapaxes(rows, 0, 1)], axis=1
+    )
     return D
 
 
@@ -127,8 +129,9 @@ def align_batch(
     out: List[Tuple[np.ndarray, np.ndarray]] = []
     from hinge_tpu.ops.myers import align_full as _scalar_align_full
 
+    overflow_set = set(overflow)
     for k in range(B):
-        if k in set(overflow):
+        if k in overflow_set:
             out.append(_scalar_align_full(qs[k], ts[k]))
             continue
         seq = mv[k, : cnt[k]][::-1]
@@ -143,6 +146,55 @@ def align_batch(
         t_row[tc] = ts[k][tpos[tc]]
         out.append((q_row, t_row))
     return out
+
+
+def align_overlap_rows_bulk(
+    items: Sequence[Tuple],
+    w: int = 128,
+    chunk: int = 1024,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Full alignment rows for MANY overlaps in one pass.
+
+    items: sequence of (a_seq, b_frame, a_start, a_end, b_start_raw,
+    b_end_raw, trace_pairs, tspace). All trace windows across all items are
+    pooled into fixed-size align_batch calls (one jit dispatch per `chunk`
+    windows instead of one per overlap), then reassembled per item.
+    """
+    qs: List[np.ndarray] = []
+    ts: List[np.ndarray] = []
+    owner: List[int] = []
+    for idx, (a_seq, b_seq, a0, a1, b0, b1, tp, tspace) in enumerate(items):
+        a_bounds = [a0]
+        nb = a0
+        while True:
+            nb = (nb // tspace + 1) * tspace
+            if nb >= a1:
+                break
+            a_bounds.append(nb)
+        a_bounds.append(a1)
+        b_bounds = [b0]
+        for jx in range(len(a_bounds) - 2):
+            b_bounds.append(b_bounds[-1] + int(tp[jx][1]))
+        b_bounds.append(b1)
+        for k in range(len(a_bounds) - 1):
+            qs.append(a_seq[a_bounds[k] : a_bounds[k + 1]])
+            ts.append(b_seq[b_bounds[k] : b_bounds[k + 1]])
+            owner.append(idx)
+
+    rows: List[Tuple[np.ndarray, np.ndarray]] = []
+    for base in range(0, len(qs), chunk):
+        rows.extend(align_batch(qs[base : base + chunk], ts[base : base + chunk], w=w))
+
+    out_a: List[List[np.ndarray]] = [[] for _ in items]
+    out_b: List[List[np.ndarray]] = [[] for _ in items]
+    for k, (qr, tr) in enumerate(rows):
+        out_a[owner[k]].append(qr)
+        out_b[owner[k]].append(tr)
+    return [
+        (np.concatenate(a) if a else np.zeros(0, np.uint8),
+         np.concatenate(b) if b else np.zeros(0, np.uint8))
+        for a, b in zip(out_a, out_b)
+    ]
 
 
 def align_with_trace_batch(

@@ -51,22 +51,29 @@ class TraceWalk(NamedTuple):
 
 
 def build_trace_walk(ov) -> TraceWalk:
-    """Extract displacement prefix-sums from an OverlapStore (host, one pass)."""
+    """Extract displacement prefix-sums from an OverlapStore (host, one pass).
+
+    Avoids materializing a segment-id array: local pair indices come from an
+    in-place subtraction of the repeated offsets, and the segmented prefix
+    sum subtracts repeated segment baselines (2 CPUs here — every pass over
+    the ~#records*~50 flat pair array counts).
+    """
     npairs = (ov.tlen // 2).astype(np.int32)
     pair_off = np.zeros(ov.n, dtype=np.int64)
     np.cumsum(npairs[:-1], out=pair_off[1:])
     total = int(npairs.sum())
-    disp = np.zeros(total, dtype=np.int32)
-    # gather odd trace positions (displacements) — vectorized over the flat
-    # trace array (trace layout: [diff0, disp0, diff1, disp1, ...])
-    seg = np.repeat(np.arange(ov.n), npairs)
-    k = np.arange(total) - pair_off[seg]
-    src = ov.trace_off[seg] + 2 * k + 1
-    disp[:] = ov.trace[src]
+    # src = trace_off[seg] + 2*(k - pair_off[seg]) + 1, built in place
+    src = np.arange(total, dtype=np.int64)
+    src -= np.repeat(pair_off, npairs)  # local pair index k
+    src <<= 1
+    src += 1
+    src += np.repeat(ov.trace_off, npairs)
+    disp = ov.trace[src].astype(np.int32)
     csum = np.cumsum(disp, dtype=np.int64)
     seg_start = csum[pair_off] - disp[pair_off]
-    cum = (csum - seg_start[seg]).astype(np.int32)
-    return TraceWalk(npairs=npairs, pair_off=pair_off, disp=disp, cum=cum)
+    cum = csum
+    cum -= np.repeat(seg_start, npairs)
+    return TraceWalk(npairs=npairs, pair_off=pair_off, disp=disp, cum=cum.astype(np.int32))
 
 
 @jax.jit
@@ -98,8 +105,9 @@ def make_point_index(npairs: np.ndarray):
     point_off = np.zeros(len(npairs), dtype=np.int64)
     np.cumsum(npts[:-1], out=point_off[1:])
     total = int(npts.sum())
-    seg_id = np.repeat(np.arange(len(npairs)), npts)
-    k_local = np.arange(total) - point_off[seg_id]
+    seg_id = np.repeat(np.arange(len(npairs), dtype=np.int32), npts)
+    k_local = np.arange(total, dtype=np.int64)
+    k_local -= np.repeat(point_off, npts)
     return seg_id, k_local.astype(np.int32), point_off
 
 

@@ -27,10 +27,51 @@ GAP = 4
 def get_align_tags(
     q_row: np.ndarray, t_row: np.ndarray, q_id: int, t_offset: int = 0
 ) -> np.ndarray:
-    """Tag list for one aligned pair (falcon.c:69-130).
+    """Tag list for one aligned pair (falcon.c:69-130), vectorized.
 
     Returns int32 array (L, 6): t_pos, delta, p_t_pos, p_delta, p_q_base,
-    q_base (bases 0..4, 4 = gap; p_q_base 5 = '.' start sentinel)."""
+    q_base (bases 0..4, 4 = gap; p_q_base 5 = '.' start sentinel).
+
+    j is a cumulative count of t non-gaps; delta (jj) counts q non-gaps
+    since the last t-advance (reset applied after the q increment, so a
+    column advancing both has delta 0). Falls back to the scalar loop when
+    any column would be dropped by the emission filter (delta >= 255 or
+    j + t_offset < 0) since drops change the predecessor chaining.
+    """
+    L = len(q_row)
+    if L == 0:
+        return np.zeros((0, 6), dtype=np.int32)
+    qn = q_row != GAP
+    tn = t_row != GAP
+    j = np.cumsum(tn, dtype=np.int64) - 1
+    cq = np.cumsum(qn, dtype=np.int64)
+    # baseline of cq at the most recent t-advance (inclusive)
+    base = np.where(tn, cq, 0)
+    base = np.maximum.accumulate(base)
+    # positions before the first t-advance keep baseline 0
+    jj = cq - base
+    keep = (j + t_offset >= 0) & (jj < 255)
+    # p_jj < 255 always holds when all jj < 255; if any column is dropped,
+    # chaining changes — use the scalar path
+    if not keep.all():
+        return _get_align_tags_scalar(q_row, t_row, q_id, t_offset)
+    out = np.empty((L, 6), dtype=np.int32)
+    out[:, 0] = j + t_offset
+    out[:, 1] = jj
+    out[1:, 2] = j[:-1] + t_offset
+    out[0, 2] = -1 + t_offset
+    out[1:, 3] = jj[:-1]
+    out[0, 3] = 0
+    out[1:, 4] = q_row[:-1]
+    out[0, 4] = 5
+    out[:, 5] = q_row
+    return out
+
+
+def _get_align_tags_scalar(
+    q_row: np.ndarray, t_row: np.ndarray, q_id: int, t_offset: int = 0
+) -> np.ndarray:
+    """Direct falcon.c:69-130 transcription (fallback + oracle)."""
     L = len(q_row)
     out = np.zeros((L, 6), dtype=np.int32)
     i = -1
@@ -59,7 +100,91 @@ def get_align_tags(
 def get_cns_from_align_tags(
     tag_seqs: List[np.ndarray], t_len: int, min_cov: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Consensus via the MSA link DP (falcon.c:270-520).
+    """Consensus via the MSA link DP — vectorized accumulation.
+
+    Tag/link counting (the bulk of the work: one entry per alignment column
+    per sequence) runs as one np.unique over the concatenated tag rows; the
+    sequential link DP then touches only the *unique* columns (~t_len of
+    them) instead of every raw tag. Semantics identical to
+    get_cns_from_align_tags_ref (falcon.c:270-520), tested equal.
+    """
+    if not tag_seqs:
+        return np.zeros(0, np.uint8), np.zeros(0, bool)
+    allt = np.concatenate([t for t in tag_seqs if len(t)], axis=0)
+    if len(allt) == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, bool)
+    # coverage: delta==0 rows per t_pos
+    coverage = np.zeros(t_len, dtype=np.int64)
+    d0 = allt[allt[:, 1] == 0, 0]
+    d0 = d0[(d0 >= 0) & (d0 < t_len)]
+    np.add.at(coverage, d0, 1)
+    # clamp base codes like the scalar path
+    rows = allt.copy()
+    rows[:, 4] = np.minimum(rows[:, 4], 4)
+    rows[:, 5] = np.minimum(rows[:, 5], 4)
+    uniq, counts = np.unique(rows, axis=0, return_counts=True)
+    # group link rows by column (t_pos, delta, base): sort with the column
+    # key major so each column's links are contiguous
+    order = np.lexsort(
+        (uniq[:, 2], uniq[:, 3], uniq[:, 4], uniq[:, 5], uniq[:, 1], uniq[:, 0])
+    )
+    uniq = uniq[order]
+    counts = counts[order]
+    col_keys = uniq[:, [0, 1, 5]]
+    new_col = np.ones(len(uniq), dtype=bool)
+    new_col[1:] = (col_keys[1:] != col_keys[:-1]).any(axis=1)
+    col_start = np.nonzero(new_col)[0]
+    col_end = np.append(col_start[1:], len(uniq))
+
+    scores: dict = {}
+    bests: dict = {}
+    g_best_score = -1.0
+    g_best_key = None
+    for s, e in zip(col_start, col_end):
+        tp, dl, base = int(uniq[s, 0]), int(uniq[s, 1]), int(uniq[s, 5])
+        best_score = -1.0
+        best_link = None
+        covh = coverage[tp] * 0.5 if 0 <= tp < t_len else 0.0
+        for r in range(s, e):
+            pi, pj, pb = int(uniq[r, 2]), int(uniq[r, 3]), int(uniq[r, 4])
+            cnt = int(counts[r])
+            if pi == -1:
+                score = cnt - covh
+            else:
+                score = scores.get((pi, pj, pb), 0.0) + cnt - covh
+            if score > best_score:
+                best_score = score
+                best_link = (pi, pj, pb)
+        key = (tp, dl, base)
+        scores[key] = best_score
+        bests[key] = best_link
+        if best_score > g_best_score:
+            g_best_score = best_score
+            g_best_key = key
+
+    if g_best_key is None:
+        return np.zeros(0, np.uint8), np.zeros(0, bool)
+    seq: List[int] = []
+    low: List[bool] = []
+    key = g_best_key
+    while True:
+        i, _, bb = key
+        nxt = bests.get(key)
+        if nxt is None or nxt[0] == -1 or len(seq) >= t_len * 2:
+            break
+        if bb != GAP:
+            seq.append(bb)
+            low.append(bool(0 <= i < t_len and coverage[i] <= min_cov))
+        key = (nxt[0], nxt[1], nxt[2])
+    seq.reverse()
+    low.reverse()
+    return np.array(seq, dtype=np.uint8), np.array(low, dtype=bool)
+
+
+def get_cns_from_align_tags_ref(
+    tag_seqs: List[np.ndarray], t_len: int, min_cov: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scalar reference implementation (falcon.c:270-520 transcription).
 
     Returns (consensus codes uint8, low_coverage bool mask per emitted base).
     """

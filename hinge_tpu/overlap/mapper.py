@@ -1,13 +1,22 @@
-"""Minimizer-based read-to-reference mapper.
+"""Minimizer-based read-to-reference mapper — fully vectorized.
 
-The reference pipeline delegates all alignment discovery to external tools
+The reference pipeline delegates alignment discovery to external tools
 (DALIGNER / minimap; `demo/*/run.sh`, `pipeline_consensus.py:41-64` runs
 HPC.daligner to map raw reads onto the draft).  This module provides a
-built-in equivalent so the framework is standalone: (w,k)-minimizer seeding
-(numpy rolling hash), per-(target, strand, diagonal-band) chaining, and
-trace-point emission by interpolating the chained anchors every tspace bases
-— producing OverlapStore records (A = target/contig, B = read) that the
-consensus stage consumes exactly like DALIGNER `.las` input.
+built-in equivalent so the framework is standalone.
+
+Pipeline (no per-hit Python):
+  1. (w,k)-minimizer extraction per sequence (numpy rolling hash),
+  2. query->index join as one `searchsorted` against the sorted index hash
+     array (buckets > 64 entries dropped as repetitive),
+  3. chaining = diagonal-band histogram per (read, strand, target) group via
+     one lexsort + segment counting; best adjacent band pair wins,
+  4. spans from segment min/max over the banded hits; trace-point
+     displacements interpolated from the anchors every tspace bases.
+
+Output: OverlapStore records (A = target/contig, B = read) with the
+DALIGNER/getOverlap coordinate convention, consumable by the consensus
+stage exactly like `.las` input.
 """
 
 from __future__ import annotations
@@ -21,21 +30,18 @@ from hinge_tpu.data.overlaps import INT, OverlapStore, ReadStore, revcomp_codes
 
 
 def _kmer_hash(codes: np.ndarray, k: int) -> np.ndarray:
-    """2-bit packed k-mers with an invertible mixer (positions 0..n-k)."""
     n = len(codes)
     if n < k:
         return np.zeros(0, dtype=np.uint64)
     v = np.zeros(n - k + 1, dtype=np.uint64)
     for i in range(k):
         v = (v << np.uint64(2)) | codes[i : n - k + 1 + i].astype(np.uint64)
-    # 64-bit finalizer (splitmix-style) for uniformity
     v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return v ^ (v >> np.uint64(31))
 
 
 def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> Tuple[np.ndarray, np.ndarray]:
-    """(positions, hashes) of window minimizers."""
     h = _kmer_hash(codes, k)
     n = len(h)
     if n == 0:
@@ -55,112 +61,31 @@ def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> Tuple[np.ndarray,
 class MapperIndex:
     k: int
     w: int
-    table: Dict[int, np.ndarray]  # hash -> packed (tid << 40 | pos)
+    hashes: np.ndarray  # sorted uint64
+    packed: np.ndarray  # uint64 (tid << 40 | pos), bucket-aligned with hashes
     t_len: np.ndarray
 
 
-def build_index(targets: List[np.ndarray], k: int = 15, w: int = 10) -> MapperIndex:
-    hashes = []
-    packed = []
+def build_index(targets: List[np.ndarray], k: int = 15, w: int = 10,
+                max_bucket: int = 64) -> MapperIndex:
+    hs, ps = [], []
     for tid, t in enumerate(targets):
-        pos, hs = minimizers(t, k, w)
-        hashes.append(hs)
-        packed.append((np.uint64(tid) << np.uint64(40)) | pos.astype(np.uint64))
-    allh = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
-    allp = np.concatenate(packed) if packed else np.zeros(0, np.uint64)
+        pos, h = minimizers(t, k, w)
+        hs.append(h)
+        ps.append((np.uint64(tid) << np.uint64(40)) | pos.astype(np.uint64))
+    allh = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    allp = np.concatenate(ps) if ps else np.zeros(0, np.uint64)
     order = np.argsort(allh, kind="stable")
     allh, allp = allh[order], allp[order]
-    # bucketize
-    table: Dict[int, np.ndarray] = {}
     if len(allh):
-        starts = np.nonzero(np.concatenate([[True], allh[1:] != allh[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(allh)]])
-        for s, e in zip(starts, ends):
-            if e - s <= 64:  # drop ultra-repetitive seeds
-                table[int(allh[s])] = allp[s:e]
+        # drop repetitive buckets
+        uniq, inv, counts = np.unique(allh, return_inverse=True, return_counts=True)
+        keep = counts[inv] <= max_bucket
+        allh, allp = allh[keep], allp[keep]
     return MapperIndex(
-        k=k, w=w, table=table,
+        k=k, w=w, hashes=allh, packed=allp,
         t_len=np.array([len(t) for t in targets], dtype=np.int64),
     )
-
-
-def _chain_hits(qpos: np.ndarray, tpos: np.ndarray, qlen: int, tlen: int, bw: int = 500):
-    """Best diagonal band by hit count; returns span or None."""
-    diag = tpos - qpos
-    band = diag // bw
-    vals, counts = np.unique(band, return_counts=True)
-    # merge adjacent bands
-    best_n = 0
-    best = None
-    for v in vals:
-        m = (band == v) | (band == v + 1)
-        n = int(m.sum())
-        if n > best_n:
-            best_n = n
-            best = m
-    if best is None or best_n < 4:
-        return None
-    q = qpos[best]
-    t = tpos[best]
-    o = np.argsort(q, kind="stable")
-    q, t = q[o], t[o]
-    # enforce monotone t (longest non-decreasing subsequence approximation:
-    # greedy filter)
-    keep = np.ones(len(t), bool)
-    last = -1
-    for i in range(len(t)):
-        if t[i] >= last:
-            last = t[i]
-        else:
-            keep[i] = False
-    q, t = q[keep], t[keep]
-    if len(q) < 4:
-        return None
-    return q, t
-
-
-def map_read(
-    index: MapperIndex,
-    read: np.ndarray,
-    min_span: int = 1000,
-    tspace: int = 100,
-):
-    """Map one read against the index. Yields per-hit dicts."""
-    out = []
-    for strand in (0, 1):
-        codes = read if strand == 0 else revcomp_codes(read)
-        qpos, qh = minimizers(codes, index.k, index.w)
-        if len(qh) == 0:
-            continue
-        # gather target hits
-        hits_q: List[np.ndarray] = []
-        hits_p: List[np.ndarray] = []
-        for i in range(len(qh)):
-            bucket = index.table.get(int(qh[i]))
-            if bucket is not None:
-                hits_q.append(np.full(len(bucket), qpos[i], dtype=np.int64))
-                hits_p.append(bucket)
-        if not hits_q:
-            continue
-        hq = np.concatenate(hits_q)
-        hp = np.concatenate(hits_p)
-        tids = (hp >> np.uint64(40)).astype(np.int64)
-        tpos = (hp & np.uint64((1 << 40) - 1)).astype(np.int64)
-        for tid in np.unique(tids):
-            m = tids == tid
-            chained = _chain_hits(hq[m], tpos[m], len(codes), int(index.t_len[tid]))
-            if chained is None:
-                continue
-            q, t = chained
-            q0, q1 = int(q[0]), int(q[-1]) + index.k
-            t0, t1 = int(t[0]), int(t[-1]) + index.k
-            if q1 - q0 < min_span or t1 - t0 < min_span:
-                continue
-            out.append(
-                dict(tid=int(tid), strand=strand, q0=q0, q1=q1, t0=t0, t1=t1,
-                     anchors_q=q, anchors_t=t, qlen=len(codes))
-            )
-    return out
 
 
 def map_reads_to_targets(
@@ -169,63 +94,168 @@ def map_reads_to_targets(
     k: int = 15,
     w: int = 10,
     min_span: int = 1000,
+    min_hits: int = 4,
+    band_width: int = 500,
     tspace: int = 100,
 ) -> OverlapStore:
-    """Produce contig-vs-read overlap records: A = contig (target), B = read.
-
-    Coordinates follow the DALIGNER/getOverlap convention: A coords on the
-    contig, B coords forward-strand on the read; trace-point displacements
-    interpolated from the chained anchors every tspace bases of A.
-    """
     index = build_index(targets, k, w)
-    cols = {key: [] for key in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()}
-    trace_chunks: List[np.ndarray] = []
+    n_targets = len(targets)
+
+    # ---- 1. all query minimizers ----
+    q_hash: List[np.ndarray] = []
+    q_pos: List[np.ndarray] = []
+    q_rid: List[np.ndarray] = []
+    q_str: List[np.ndarray] = []
+    read_codes = []
     for rid in range(rs.n_reads):
         read = rs.get_bases(rid)
-        for h in map_read(index, read, min_span, tspace):
-            tid, strand = h["tid"], h["strand"]
-            alen = int(index.t_len[tid])
-            blen = len(read)
-            a0, a1 = h["t0"], h["t1"]
-            # q coords are on the (possibly rc'd) read; convert to fwd strand
-            if strand == 0:
-                b0, b1 = h["q0"], h["q1"]
-            else:
-                b0, b1 = blen - h["q1"], blen - h["q0"]
-            # interpolated b positions at A lattice points (match frame)
-            bounds = [a0]
-            nb = a0
-            while True:
-                nb = (nb // tspace + 1) * tspace
-                if nb >= a1:
-                    break
-                bounds.append(nb)
-            bounds.append(a1)
-            ba = np.interp(bounds, h["anchors_t"], h["anchors_q"])
-            ba[0], ba[-1] = h["q0"], h["q1"]
-            disp = np.diff(np.round(ba).astype(np.int64))
-            disp = np.clip(disp, 0, None).astype(np.uint16)
-            tr = np.zeros(2 * len(disp), dtype=np.uint16)
-            tr[1::2] = disp
-            # fix telescoping: adjust last disp so sum == q span
-            span = h["q1"] - h["q0"]
-            delta = span - int(disp.sum())
-            if len(disp) and 0 <= int(disp[-1]) + delta < 65535:
-                tr[-1] = int(disp[-1]) + delta
-            cols["a_id"].append(tid)
-            cols["b_id"].append(rid)
-            cols["a_len"].append(alen)
-            cols["b_len"].append(blen)
-            cols["a_start"].append(a0)
-            cols["a_end"].append(a1)
-            cols["b_start"].append(b0)
-            cols["b_end"].append(b1)
-            cols["rc"].append(strand)
-            cols["diffs"].append(0)
-            cols["tlen"].append(2 * len(disp))
-            trace_chunks.append(tr)
+        read_codes.append(read)
+        for strand in (0, 1):
+            codes = read if strand == 0 else revcomp_codes(read)
+            pos, h = minimizers(codes, k, w)
+            q_hash.append(h)
+            q_pos.append(pos)
+            q_rid.append(np.full(len(h), rid, dtype=np.int64))
+            q_str.append(np.full(len(h), strand, dtype=np.int64))
+    if not q_hash:
+        return OverlapStore.from_arrays(tspace=tspace, a_id=np.zeros(0, INT), b_id=np.zeros(0, INT),
+                                        a_len=np.zeros(0, INT), b_len=np.zeros(0, INT),
+                                        a_start=np.zeros(0, INT), a_end=np.zeros(0, INT),
+                                        b_start=np.zeros(0, INT), b_end=np.zeros(0, INT),
+                                        rc=np.zeros(0, INT))
+    qh = np.concatenate(q_hash)
+    qp = np.concatenate(q_pos)
+    qr = np.concatenate(q_rid)
+    qs = np.concatenate(q_str)
+
+    # ---- 2. join against the sorted index ----
+    lo = np.searchsorted(index.hashes, qh, side="left")
+    hi = np.searchsorted(index.hashes, qh, side="right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return _empty(tspace)
+    # flat bucket indices: repeat(lo) + intra-bucket arange
+    rep = np.repeat(np.arange(len(qh)), cnt)
+    base = np.repeat(lo, cnt)
+    intra = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    packed = index.packed[base + intra]
+    h_tid = (packed >> np.uint64(40)).astype(np.int64)
+    h_tpos = (packed & np.uint64((1 << 40) - 1)).astype(np.int64)
+    h_qpos = qp[rep]
+    h_rid = qr[rep]
+    h_str = qs[rep]
+
+    # ---- 3. diagonal-band histogram per (read, strand, target) ----
+    group = (h_rid * 2 + h_str) * n_targets + h_tid
+    diag = h_tpos - h_qpos  # can be negative
+    band = (diag + (1 << 30)) // band_width
+    order = np.lexsort((band, group))
+    g_s, b_s = group[order], band[order]
+    gb_new = np.ones(tot, dtype=bool)
+    gb_new[1:] = (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])
+    gb_start = np.nonzero(gb_new)[0]
+    gb_count = np.diff(np.append(gb_start, tot))
+    gb_group = g_s[gb_start]
+    gb_band = b_s[gb_start]
+    # adjacent-band merge: count(b) + count(b+1) when same group
+    nxt_same = np.zeros(len(gb_start), dtype=bool)
+    nxt_same[:-1] = (gb_group[1:] == gb_group[:-1]) & (gb_band[1:] == gb_band[:-1] + 1)
+    pair_count = gb_count.copy()
+    pair_count[:-1] += np.where(nxt_same[:-1], gb_count[1:], 0)
+    # best band pair per group
+    grp_new = np.ones(len(gb_start), dtype=bool)
+    grp_new[1:] = gb_group[1:] != gb_group[:-1]
+    grp_idx = np.cumsum(grp_new) - 1
+    n_grp = int(grp_idx[-1]) + 1
+    best_count = np.zeros(n_grp, dtype=np.int64)
+    np.maximum.at(best_count, grp_idx, pair_count)
+    # first gb achieving the best count per group
+    is_best = pair_count == best_count[grp_idx]
+    first_best = np.full(n_grp, 1 << 60, dtype=np.int64)
+    np.minimum.at(first_best, grp_idx[is_best], np.nonzero(is_best)[0].astype(np.int64))
+
+    keep_groups = best_count >= min_hits
+    cols = {key: [] for key in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()}
+    trace_chunks: List[np.ndarray] = []
+
+    for g in np.nonzero(keep_groups)[0]:
+        gb = int(first_best[g])
+        grp = int(gb_group[gb])
+        b0 = int(gb_band[gb])
+        # hits of this group in bands {b0, b0+1}
+        s = gb_start[gb]
+        e = s + gb_count[gb]
+        if gb + 1 < len(gb_start) and nxt_same[gb]:
+            e = gb_start[gb + 1] + gb_count[gb + 1]
+        idxs = order[s:e]
+        tq = h_qpos[idxs]
+        tt = h_tpos[idxs]
+        o2 = np.argsort(tq, kind="stable")
+        tq, tt = tq[o2], tt[o2]
+        # enforce monotone t (greedy)
+        keep = np.maximum.accumulate(tt) == tt
+        tq, tt = tq[keep], tt[keep]
+        if len(tq) < min_hits:
+            continue
+        rid = grp // (2 * n_targets)
+        strand = (grp // n_targets) % 2
+        tid = grp % n_targets
+        blen = len(read_codes[rid])
+        alen = int(index.t_len[tid])
+        q0, q1 = int(tq[0]), int(tq[-1]) + k
+        t0, t1 = int(tt[0]), int(tt[-1]) + k
+        if q1 - q0 < min_span or t1 - t0 < min_span:
+            continue
+        if strand == 0:
+            b_start, b_end = q0, q1
+        else:
+            b_start, b_end = blen - q1, blen - q0
+        # trace displacements from anchor interpolation over A positions
+        bounds = [t0]
+        nb = t0
+        while True:
+            nb = (nb // tspace + 1) * tspace
+            if nb >= t1:
+                break
+            bounds.append(nb)
+        bounds.append(t1)
+        ba = np.interp(bounds, tt, tq)
+        ba[0], ba[-1] = q0, q1
+        disp = np.diff(np.round(ba).astype(np.int64))
+        disp = np.clip(disp, 0, 65534).astype(np.int64)
+        span = q1 - q0
+        delta = span - int(disp.sum())
+        if len(disp) and 0 <= int(disp[-1]) + delta < 65535:
+            disp[-1] += delta
+        tr = np.zeros(2 * len(disp), dtype=np.uint16)
+        tr[1::2] = disp
+        cols["a_id"].append(tid)
+        cols["b_id"].append(rid)
+        cols["a_len"].append(alen)
+        cols["b_len"].append(blen)
+        cols["a_start"].append(t0)
+        cols["a_end"].append(t1)
+        cols["b_start"].append(b_start)
+        cols["b_end"].append(b_end)
+        cols["rc"].append(strand)
+        cols["diffs"].append(0)
+        cols["tlen"].append(2 * len(disp))
+        trace_chunks.append(tr)
+
     trace = np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, np.uint16)
+    if not cols["a_id"]:
+        return _empty(tspace)
     return OverlapStore.from_arrays(
         tspace=tspace, trace=trace,
         **{kk: np.asarray(v, dtype=np.int64) for kk, v in cols.items()},
     ).sort_by_a()
+
+
+def _empty(tspace):
+    z = np.zeros(0, INT)
+    return OverlapStore.from_arrays(
+        tspace=tspace, a_id=z, b_id=z, a_len=z, b_len=z, a_start=z, a_end=z,
+        b_start=z, b_end=z, rc=z,
+    )
+

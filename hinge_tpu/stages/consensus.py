@@ -90,8 +90,22 @@ def run_consensus(
         ins_scores = np.zeros((alen, 5), dtype=np.int32)
         cov = np.zeros(alen, dtype=np.int32)
 
+        # all alignment rows for this contig in pooled window batches
+        items = []
+        traced = []
         for r in sel:
-            rowA, rowB = _contig_read_rows(aln, r, tmpl, rs, band)
+            it = _row_item(aln, r, tmpl, rs)
+            if it is not None:
+                items.append(it)
+                traced.append(r)
+        bulk = BA.align_overlap_rows_bulk(items)
+        rows_by_r = dict(zip(traced, bulk))
+
+        for r in sel:
+            if r in rows_by_r:
+                rowA, rowB = rows_by_r[r]
+            else:
+                rowA, rowB = _contig_read_rows(aln, r, tmpl, rs, band)
             rowA, rowB, offset = chop_end(rowA, rowB, 100)
             pos0 = int(aln.a_start[r]) + offset
             a_nogap = rowA != GAP
@@ -127,6 +141,25 @@ def run_consensus(
             for name, seq in results:
                 f.write(f">{name}\n{seq}\n")
     return results
+
+
+def _row_item(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore):
+    """Bulk-batch item for record r, or None when there are no trace points
+    (falls back to the scalar full-region path)."""
+    if aln.tlen[r] <= 0:
+        return None
+    read = rs.get_bases(int(aln.b_id[r]))
+    rc = int(aln.rc[r])
+    blen = int(aln.b_len[r])
+    if rc:
+        b_frame = revcomp_codes(read)
+        bb = blen - int(aln.b_end[r])
+        be = blen - int(aln.b_start[r])
+    else:
+        b_frame = read
+        bb, be = int(aln.b_start[r]), int(aln.b_end[r])
+    return (tmpl, b_frame, int(aln.a_start[r]), int(aln.a_end[r]), bb, be,
+            aln.trace_pairs(r), aln.tspace)
 
 
 def _contig_read_rows(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore, band: int):

@@ -96,6 +96,22 @@ def _find_overlap_row(ov: OverlapStore, row_lists: Dict[int, np.ndarray], a: int
     return None
 
 
+def _row_item_for_edge(ov: OverlapStore, rs: ReadStore, row: int):
+    """Bulk-batch item (see batch_align.align_overlap_rows_bulk) for one
+    backbone edge's overlap."""
+    a_seq = rs.get_bases(int(ov.a_id[row]))
+    b_seq = rs.get_bases(int(ov.b_id[row]))
+    if int(ov.rc[row]):
+        b_frame = revcomp_codes(b_seq)
+        bb = int(ov.b_len[row]) - int(ov.b_end[row])
+        be = int(ov.b_len[row]) - int(ov.b_start[row])
+    else:
+        b_frame = b_seq
+        bb, be = int(ov.b_start[row]), int(ov.b_end[row])
+    return (a_seq, b_frame, int(ov.a_start[row]), int(ov.a_end[row]), bb, be,
+            ov.trace_pairs(row), ov.tspace)
+
+
 def _aln_rows_for_edge(ov: OverlapStore, rs: ReadStore, row: int, band: int) -> Tuple[np.ndarray, np.ndarray]:
     """Full alignment rows for the overlap (A as-is, B complemented when rc),
     covering raw match coords — our recoverAlignment+getAlignmentTags."""
@@ -204,9 +220,13 @@ def draft_assembly_ctg(
     overhang = np.zeros(0, np.uint8)
     len_overhang = 0
 
+    # all backbone alignment rows in pooled window batches
+    bulk_items = [_row_item_for_edge(ov, rs, selected[idx]) for idx in range(n_bb)]
+    bulk_rows = BA.align_overlap_rows_bulk(bulk_items)
+
     for idx, (a, ao, b, bo, w) in enumerate(edges):
         r = selected[idx]
-        rowA, rowB = _aln_rows_for_edge(ov, rs, r, band)
+        rowA, rowB = bulk_rows[idx]
         if ao == 1:
             # reverse-complement both rows to the contig orientation
             rowA = _rc_row(rowA)

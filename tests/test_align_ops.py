@@ -117,3 +117,44 @@ def test_falcon_consensus_recovers_template():
     s2 = codes_to_str(template)
     sm = SequenceMatcher(None, s1, s2, autojunk=False)
     assert sm.ratio() > 0.98, sm.ratio()
+
+
+def test_falcon_fast_matches_reference():
+    """Vectorized get_cns_from_align_tags vs the scalar transcription."""
+    from hinge_tpu.ops.falcon_vote import get_cns_from_align_tags_ref
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        template = rng.integers(0, 4, 300).astype(np.uint8)
+        tags_list = []
+        for j in range(8):
+            q = _mutate(rng, template, 0.05, 0.02, 0.02)
+            a = MY.align_pair(q, template, band_tolerance=150)
+            qrow = np.concatenate([[np.uint8(3)], a.q_aln])
+            trow = np.concatenate([[np.uint8(3)], a.t_aln])
+            tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
+        fast, lowf = FV.get_cns_from_align_tags(tags_list, len(template) + 1, 1)
+        ref, lowr = get_cns_from_align_tags_ref(tags_list, len(template) + 1, 1)
+        np.testing.assert_array_equal(fast, ref)
+        np.testing.assert_array_equal(lowf, lowr)
+
+
+def test_get_align_tags_vectorized_matches_scalar():
+    from hinge_tpu.ops.falcon_vote import _get_align_tags_scalar
+
+    rng = np.random.default_rng(13)
+    for trial in range(10):
+        t = rng.integers(0, 4, 200).astype(np.uint8)
+        q = _mutate(rng, t, 0.08, 0.05, 0.05)
+        a = MY.align_pair(q, t, band_tolerance=150)
+        qrow = np.concatenate([[np.uint8(3)], a.q_aln])
+        trow = np.concatenate([[np.uint8(3)], a.t_aln])
+        fast = FV.get_align_tags(qrow, trow, trial, 0)
+        ref = _get_align_tags_scalar(qrow, trow, trial, 0)
+        np.testing.assert_array_equal(fast, ref)
+    # gap-leading rows (j = -1 prefix) must take the scalar fallback path
+    qrow = np.array([0, 1, 2], dtype=np.uint8)
+    trow = np.array([FV.GAP, FV.GAP, 1], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        FV.get_align_tags(qrow, trow, 0, 0), _get_align_tags_scalar(qrow, trow, 0, 0)
+    )
