@@ -117,7 +117,7 @@ def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
     return N_OV / dt, dt
 
 
-def _device_bench_subprocess(timeout_s: int = 420):
+def _device_bench_subprocess(timeout_s: int = 420, force_cpu: bool = False):
     """Run the device bench in a child process with a hard timeout.
 
     The single TPU here sits behind a tunnel whose claim can wedge if a
@@ -133,11 +133,15 @@ def _device_bench_subprocess(timeout_s: int = 420):
         "import jax\n"
         "print('BENCH_RESULT ' + json.dumps({'rps': rps, 'backend': jax.default_backend()}))\n"
     )
+    env = dict(os.environ)
+    if force_cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
         )
         for line in r.stdout.splitlines():
             if line.startswith("BENCH_RESULT "):
@@ -152,13 +156,13 @@ def main():
     a_id, a_start, a_end, read_len = synth()
     rps, backend = _device_bench_subprocess()
     if rps is None:
-        # TPU unreachable (wedged tunnel): measure on the CPU backend
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        rps, _ = bench_device(a_id, a_start, a_end, read_len)
+        # TPU unreachable (wedged tunnel): measure on the CPU backend in a
+        # clean interpreter (no axon registration at startup)
+        rps, _ = _device_bench_subprocess(timeout_s=420, force_cpu=True)
         backend = "cpu-fallback"
+    if rps is None:
+        rps = 0.0
+        backend = "unavailable"
     base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
     print(
         json.dumps(
