@@ -181,9 +181,30 @@ def align_overlap_rows_bulk(
             ts.append(b_seq[b_bounds[k] : b_bounds[k + 1]])
             owner.append(idx)
 
-    rows: List[Tuple[np.ndarray, np.ndarray]] = []
-    for base in range(0, len(qs), chunk):
-        rows.extend(align_batch(qs[base : base + chunk], ts[base : base + chunk], w=w))
+    # identity short-circuit (clean-data windows are byte-equal), then the
+    # batched DP on accelerators / scalar Myers on the CPU backend where the
+    # O(ND) scalar path beats the O(W^2) fill for low-divergence windows
+    rows: List[Tuple[np.ndarray, np.ndarray]] = [None] * len(qs)
+    todo: List[int] = []
+    for k in range(len(qs)):
+        if len(qs[k]) == len(ts[k]) and np.array_equal(qs[k], ts[k]):
+            rows[k] = (qs[k], ts[k])
+        else:
+            todo.append(k)
+    if todo:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            from hinge_tpu.ops.myers import align_full as _scalar
+
+            for k in todo:
+                rows[k] = _scalar(qs[k], ts[k])
+        else:
+            for base in range(0, len(todo), chunk):
+                sel = todo[base : base + chunk]
+                sub = align_batch([qs[k] for k in sel], [ts[k] for k in sel], w=w)
+                for k, r in zip(sel, sub):
+                    rows[k] = r
 
     out_a: List[List[np.ndarray]] = [[] for _ in items]
     out_b: List[List[np.ndarray]] = [[] for _ in items]

@@ -329,8 +329,9 @@ def draft_assembly_ctg(
     cut_end_eff = int(rs.length[edges[-1][2]]) - cut_end
 
     # ---- ladders (draft.cpp:538-551) ----
-    draft_chunks: List[np.ndarray] = []
-    low_chunks: List[np.ndarray] = []
+    # Pass 1: build every ladder and pool all (segment, template) pairs into
+    # one banded batch; Pass 2: FALCON-vote per ladder.
+    ladders: List[List[Tuple[int, int, int]]] = []
     for i in range(len(lanes) - 1):
         lane1, lane2 = lanes[i], lanes[i + 1]
         ladder: List[Tuple[int, int, int]] = []
@@ -340,14 +341,17 @@ def draft_assembly_ctg(
                 pos += 1
             if lane1[pos][0] == lane2[jj][0]:
                 ladder.append((lane2[jj][0], lane1[pos][1], lane2[jj][1]))
-        if len(ladder) == 0:
+        ladders.append(ladder)
+
+    # templates: max-min-coverage segment per ladder (draft.cpp:570-587)
+    templates: List[Optional[int]] = []
+    pair_q: List[np.ndarray] = []
+    pair_t: List[np.ndarray] = []
+    pair_owner: List[Tuple[int, int]] = []
+    for li, ladder in enumerate(ladders):
+        if len(ladder) <= 1:
+            templates.append(None)
             continue
-        if len(ladder) == 1:
-            rd, s, e = ladder[0]
-            draft_chunks.append(breads[rd][s:e])
-            low_chunks.append(np.zeros(max(e - s, 0), bool))
-            continue
-        # template: max-min-coverage segment
         mx = 0
         maxcov = 0
         for j, (rd, s, e) in enumerate(ladder):
@@ -356,17 +360,35 @@ def draft_assembly_ctg(
             if mincov > maxcov:
                 maxcov = mincov
                 mx = j
+        templates.append(mx)
         t_rd, t_s, t_e = ladder[mx]
         template = breads[t_rd][t_s:t_e]
-        alen_t = len(template)
-        tags_list = []
         for j, (rd, s, e) in enumerate(ladder):
-            qseg = breads[rd][s:e]
-            aln = MY.align_pair(qseg, template, band)
-            if not aln.aligned:
-                qrow, trow = MY.align_full(qseg, template, band)
-            else:
-                qrow, trow = aln.q_aln, aln.t_aln
+            pair_q.append(breads[rd][s:e])
+            pair_t.append(template)
+            pair_owner.append((li, j))
+
+    pair_rows = _align_ladder_pairs(pair_q, pair_t, band)
+    rows_of: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = dict(
+        zip(pair_owner, pair_rows)
+    )
+
+    draft_chunks: List[np.ndarray] = []
+    low_chunks: List[np.ndarray] = []
+    for li, ladder in enumerate(ladders):
+        if len(ladder) == 0:
+            continue
+        if len(ladder) == 1:
+            rd, s, e = ladder[0]
+            draft_chunks.append(breads[rd][s:e])
+            low_chunks.append(np.zeros(max(e - s, 0), bool))
+            continue
+        mx = templates[li]
+        t_rd, t_s, t_e = ladder[mx]
+        alen_t = t_e - t_s
+        tags_list = []
+        for j in range(len(ladder)):
+            qrow, trow = rows_of[(li, j)]
             # sentinel column (draft.cpp:652-659: 'T' prepended to both rows)
             qrow = np.concatenate([[np.uint8(3)], qrow])
             trow = np.concatenate([[np.uint8(3)], trow])
@@ -387,6 +409,40 @@ def draft_assembly_ctg(
         contig = contig[cut_start:end] if end >= cut_start else contig[cut_start:cut_start]
         low = low[cut_start : cut_start + len(contig)]
     return contig, low
+
+
+def _align_ladder_pairs(pair_q, pair_t, band):
+    """Backend-adaptive ladder segment alignment.
+
+    Identical pairs short-circuit (common with clean data).  The rest go to
+    the banded batched DP on accelerators; on the CPU backend the scalar
+    Myers O(ND) path wins for low-divergence segments, so it is used there.
+    """
+    import jax
+
+    rows: List = [None] * len(pair_q)
+    todo = []
+    for k, (qv, tv) in enumerate(zip(pair_q, pair_t)):
+        if len(qv) == len(tv) and np.array_equal(qv, tv):
+            rows[k] = (qv, tv)
+        else:
+            todo.append(k)
+    if todo:
+        if jax.default_backend() == "cpu":
+            for k in todo:
+                rows[k] = MY.align_full(pair_q[k], pair_t[k], band)
+        else:
+            from hinge_tpu.ops.banded_align import align_batch_banded
+
+            wmax = max(max(len(pair_q[k]), len(pair_t[k])) for k in todo)
+            w = min(-(-max(wmax, 128) // 128) * 128, 4096)
+            sub = align_batch_banded(
+                [pair_q[k] for k in todo], [pair_t[k] for k in todo],
+                w=w, band=96,
+            )
+            for k, r in zip(todo, sub):
+                rows[k] = r
+    return rows
 
 
 def _rc_row(row: np.ndarray) -> np.ndarray:
