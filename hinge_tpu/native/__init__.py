@@ -60,5 +60,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.las_parse.restype = c.c_int
         lib.fasta_scan.restype = c.c_int64
+        if hasattr(lib, "minimizers"):
+            lib.minimizers.restype = c.c_int64
         _lib = lib
         return _lib

@@ -197,3 +197,64 @@ int64_t fasta_scan(const char* path, int64_t max_records, int64_t* seq_len,
 }
 
 }  // extern "C"
+
+// ---- minimizer extraction (hinge_tpu.overlap.mapper's rolling hash) ----
+// Must match the numpy implementation bit-for-bit: k-base 2-bit pack with
+// uint64 wraparound, then the splitmix-style finalizer.
+
+extern "C" {
+
+static inline uint64_t mix64(uint64_t v) {
+  v = (v ^ (v >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  v = (v ^ (v >> 27)) * 0x94D049BB133111EBULL;
+  return v ^ (v >> 31);
+}
+
+// Returns the number of minimizers written (positions ascending, unique).
+int64_t minimizers(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+                   int64_t* out_pos, uint64_t* out_hash) {
+  if (n < k) return 0;
+  const int64_t m = n - k + 1;
+  std::vector<uint64_t> h(static_cast<size_t>(m));
+  uint64_t v = 0;
+  for (int64_t i = 0; i < k; i++) v = (v << 2) | (codes[i] & 3);
+  h[0] = mix64(v);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  for (int64_t i = 1; i < m; i++) {
+    v = ((v << 2) | (codes[i + k - 1] & 3)) & mask;
+    h[i] = mix64(v);
+  }
+  int64_t cnt = 0;
+  if (m <= w) {
+    int64_t p = 0;
+    for (int64_t i = 1; i < m; i++)
+      if (h[i] < h[p]) p = i;
+    out_pos[0] = p;
+    out_hash[0] = h[p];
+    return 1;
+  }
+  // monotonic deque over windows of width w; emit argmin per window,
+  // deduplicated (numpy path: np.unique of per-window argmin indices)
+  std::vector<int64_t> dq(static_cast<size_t>(m));
+  int64_t head = 0, tail = 0;  // [head, tail)
+  int64_t last_emit = -1;
+  for (int64_t i = 0; i < m; i++) {
+    while (tail > head && h[dq[tail - 1]] > h[i]) tail--;
+    // numpy argmin keeps the FIRST minimum; preserve ties accordingly:
+    // only pop strictly larger values (above), so earlier equal stays.
+    dq[tail++] = i;
+    if (dq[head] <= i - w) head++;
+    if (i >= w - 1) {
+      int64_t p = dq[head];
+      if (p != last_emit) {
+        out_pos[cnt] = p;
+        out_hash[cnt] = h[p];
+        cnt++;
+        last_emit = p;
+      }
+    }
+  }
+  return cnt;
+}
+
+}  // extern "C"

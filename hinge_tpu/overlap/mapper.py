@@ -42,6 +42,11 @@ def _kmer_hash(codes: np.ndarray, k: int) -> np.ndarray:
 
 
 def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    """(positions, hashes) of window minimizers. Uses the native C core when
+    available (bit-identical hash), numpy otherwise."""
+    native = _native_minimizers(codes, k, w)
+    if native is not None:
+        return native
     h = _kmer_hash(codes, k)
     n = len(h)
     if n == 0:
@@ -55,6 +60,32 @@ def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> Tuple[np.ndarray,
     idx = np.argmin(win, axis=1) + np.arange(len(win))
     keep = np.unique(idx)
     return keep, h[keep]
+
+
+def _native_minimizers(codes: np.ndarray, k: int, w: int):
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "minimizers"):
+        return None
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    cap = n - k + 1
+    pos = np.zeros(cap, dtype=np.int64)
+    hsh = np.zeros(cap, dtype=np.uint64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    cnt = lib.minimizers(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(k), ctypes.c_int32(w),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hsh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if cnt < 0:
+        return None
+    return pos[:cnt], hsh[:cnt]
 
 
 @dataclasses.dataclass

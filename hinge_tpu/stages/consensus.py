@@ -118,23 +118,27 @@ def run_consensus(
             np.add.at(ins_score, pos[m_ins], 1)
             np.add.at(ins_scores, (pos[m_ins], rowB[m_ins]), 1)
 
-        # emission (consensus.cpp:231-269)
-        out_chars: List[str] = []
+        # emission (consensus.cpp:231-269), vectorized: each draft position
+        # emits 0-2 bytes (optional insertion + base-or-deletion); build the
+        # two per-position byte columns and compact the used ones
         lowmask = cov < 3
         max_base = np.argmax(scores, axis=1)  # first max wins, like the loop
-        ins_emit = ins_score > cov // 2
+        ins_emit = (ins_score > cov // 2) & ~lowmask
         max_ins = np.argmax(ins_scores[:, :4], axis=1)
         draft_text = contigs[ci][1]
-        for j in range(alen):
-            if lowmask[j]:
-                out_chars.append(draft_text[j].lower())
-                continue
-            if ins_emit[j]:
-                out_chars.append("ACGT"[max_ins[j]])
-            mb = int(max_base[j])
-            if mb < 4:
-                out_chars.append("ACGT"[mb])
-        results.append((f"Consensus{ci}", "".join(out_chars)))
+        draft_bytes = np.frombuffer(draft_text.encode(), dtype=np.uint8)[:alen]
+        upper = np.frombuffer(b"ACGT", dtype=np.uint8)
+        to_lower = draft_bytes | 0x20  # ASCII lowercase
+        col0 = np.where(ins_emit, upper[max_ins], 0).astype(np.uint8)
+        base_byte = np.where(
+            lowmask, to_lower,
+            np.where(max_base < 4, upper[np.minimum(max_base, 3)], 0),
+        ).astype(np.uint8)
+        interleaved = np.empty(2 * alen, dtype=np.uint8)
+        interleaved[0::2] = col0
+        interleaved[1::2] = base_byte
+        out_bytes = interleaved[interleaved != 0]
+        results.append((f"Consensus{ci}", out_bytes.tobytes().decode()))
 
     if out_fasta is not None:
         with open(out_fasta, "w") as f:

@@ -131,3 +131,53 @@ def test_gfa_output(assembly):
     # every S line has a sequence
     for l in s_lines:
         assert len(l.split("\t")[2]) > 0
+
+
+def test_consensus_emission_vectorized_matches_scalar():
+    """The vectorized emission must reproduce consensus.cpp:231-269."""
+    rng = np.random.default_rng(7)
+    alen = 500
+    scores = rng.integers(0, 10, (alen, 5)).astype(np.int32)
+    cov = rng.integers(0, 12, alen).astype(np.int32)
+    ins_score = rng.integers(0, 8, alen).astype(np.int32)
+    ins_scores = rng.integers(0, 5, (alen, 5)).astype(np.int32)
+    draft_text = "".join("ACGT"[c] for c in rng.integers(0, 4, alen))
+
+    # scalar transcription
+    out = []
+    for j in range(alen):
+        if cov[j] < 3:
+            out.append(draft_text[j].lower())
+            continue
+        if ins_score[j] > cov[j] // 2:
+            mi = 0
+            for b in range(1, 4):
+                if ins_scores[j][b] > ins_scores[j][mi]:
+                    mi = b
+            out.append("ACGT"[mi])
+        mb = 0
+        for b in range(1, 5):
+            if scores[j][b] > scores[j][mb]:
+                mb = b
+        if mb < 4:
+            out.append("ACGT"[mb])
+    want = "".join(out)
+
+    # vectorized emission (same code path as run_consensus)
+    lowmask = cov < 3
+    max_base = np.argmax(scores, axis=1)
+    ins_emit = (ins_score > cov // 2) & ~lowmask
+    max_ins = np.argmax(ins_scores[:, :4], axis=1)
+    draft_bytes = np.frombuffer(draft_text.encode(), dtype=np.uint8)[:alen]
+    upper = np.frombuffer(b"ACGT", dtype=np.uint8)
+    to_lower = draft_bytes | 0x20
+    col0 = np.where(ins_emit, upper[max_ins], 0).astype(np.uint8)
+    base_byte = np.where(
+        lowmask, to_lower,
+        np.where(max_base < 4, upper[np.minimum(max_base, 3)], 0),
+    ).astype(np.uint8)
+    interleaved = np.empty(2 * alen, dtype=np.uint8)
+    interleaved[0::2] = col0
+    interleaved[1::2] = base_byte
+    got = interleaved[interleaved != 0].tobytes().decode()
+    assert got == want

@@ -59,3 +59,30 @@ def test_native_pack_unpack(lib):
     np.testing.assert_array_equal(out, codes)
     # matches the DAZZ_DB python unpacking convention (first base high bits)
     assert packed[0] == ((codes[0] << 6) | (codes[1] << 4) | (codes[2] << 2) | codes[3])
+
+
+def test_native_minimizers_match_numpy(lib):
+    import hinge_tpu.overlap.mapper as M
+
+    rng = np.random.default_rng(5)
+    for n in (10, 30, 500, 5000):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        got = M._native_minimizers(codes, 15, 10)
+        assert got is not None
+        # numpy path
+        h = M._kmer_hash(codes, 15)
+        if len(h) == 0:
+            assert len(got[0]) == 0
+            continue
+        if len(h) <= 10:
+            p = int(np.argmin(h))
+            want = (np.array([p]), h[[p]])
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(h, 10)
+            idx = np.argmin(win, axis=1) + np.arange(len(win))
+            keep = np.unique(idx)
+            want = (keep, h[keep])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
