@@ -284,6 +284,18 @@ def cmd_fasta2q(args):
     print(f"[fasta2q] -> {args.output}")
 
 
+def cmd_overlap(args):
+    """All-vs-all read overlapping with the built-in minimizer overlapper
+    (standalone replacement for the external DALIGNER run)."""
+    from hinge_tpu.io.las import write_las
+    from hinge_tpu.overlap.mapper import overlap_reads
+
+    rs = _load_reads(args)
+    ov = overlap_reads(rs, min_span=args.min_span)
+    write_las(args.out, ov)
+    print(f"[overlap] {ov.n} overlaps -> {args.out}")
+
+
 def cmd_gt(args):
     """Ground-truth mapping: reads vs reference -> mapping.json
     (replaces scripts/run_mapping.py's LA4Awesome run)."""
@@ -390,6 +402,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(func=cmd_fasta2q)
+
+    sp = sub.add_parser("overlap")
+    sp.add_argument("--db", default="")
+    sp.add_argument("--fasta", default="")
+    sp.add_argument("--out", "-o", required=True)
+    sp.add_argument("--min-span", type=int, default=1000)
+    sp.set_defaults(func=cmd_overlap)
 
     sp = sub.add_parser("gt")
     sp.add_argument("reference")

@@ -290,3 +290,138 @@ def _empty(tspace):
         b_start=z, b_end=z, rc=z,
     )
 
+
+
+def overlap_reads(
+    rs: ReadStore,
+    k: int = 15,
+    w: int = 8,
+    min_span: int = 1000,
+    min_hits: int = 4,
+    band_width: int = 500,
+    tspace: int = 100,
+) -> OverlapStore:
+    """All-vs-all read overlapping: the read set mapped against itself.
+
+    Replaces the reference's external DALIGNER run (L0 in SURVEY.md §1) for
+    fasta-only pipelines. Like a merged `.las`, every overlap appears as an
+    exactly coordinate-mirrored (i,j)/(j,i) record pair (the downstream
+    draft stage matches records by summed length, draft.cpp:163-177, so the
+    two directions must agree byte-for-byte); trivial self matches (same
+    read, forward strand, near-zero diagonal) are dropped.
+    """
+    targets = [rs.get_bases(i) for i in range(rs.n_reads)]
+    ov = map_reads_to_targets(
+        targets, rs, k=k, w=w, min_span=min_span, min_hits=min_hits,
+        band_width=band_width, tspace=tspace,
+    )
+    diag = ov.a_start.astype(np.int64) - ov.b_start.astype(np.int64)
+    trivial = (ov.a_id == ov.b_id) & (ov.rc == 0) & (np.abs(diag) < band_width)
+    ov = ov.take(np.nonzero(~trivial)[0])
+
+    # keep one canonical record per unordered pair (largest summed length,
+    # then lowest ids) and synthesize its exact mirror
+    mlen = ov.match_len()
+    lo = np.minimum(ov.a_id, ov.b_id)
+    hi = np.maximum(ov.a_id, ov.b_id)
+    span_key = np.minimum(ov.a_start, ov.b_start)  # separate repeat intervals
+    order = np.lexsort((ov.a_id, -mlen, span_key // (4 * band_width), lo, hi))
+    seen = set()
+    keep_rows = []
+    for r in order:
+        key = (int(lo[r]), int(hi[r]), int(ov.rc[r]),
+               (int(span_key[r]) // (4 * band_width)))
+        if key in seen:
+            continue
+        seen.add(key)
+        keep_rows.append(int(r))
+    keep_rows.sort()
+    base = ov.take(np.asarray(keep_rows, dtype=np.int64))
+
+    cols = {kk: [] for kk in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()}
+    trace_chunks: List[np.ndarray] = []
+    for r in range(base.n):
+        rec, tr = _record_cols(base, r)
+        for kk, v in rec.items():
+            cols[kk].append(v)
+        trace_chunks.append(tr)
+        rec, tr = _mirror_record(base, r, tspace)
+        for kk, v in rec.items():
+            cols[kk].append(v)
+        trace_chunks.append(tr)
+    trace = np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, np.uint16)
+    return OverlapStore.from_arrays(
+        tspace=tspace, trace=trace,
+        **{kk: np.asarray(v, dtype=np.int64) for kk, v in cols.items()},
+    ).sort_by_a()
+
+
+def _record_cols(ov: OverlapStore, r: int):
+    tr = ov.trace[ov.trace_off[r] : ov.trace_off[r] + ov.tlen[r]].copy()
+    rec = dict(
+        a_id=int(ov.a_id[r]), b_id=int(ov.b_id[r]),
+        a_len=int(ov.a_len[r]), b_len=int(ov.b_len[r]),
+        a_start=int(ov.a_start[r]), a_end=int(ov.a_end[r]),
+        b_start=int(ov.b_start[r]), b_end=int(ov.b_end[r]),
+        rc=int(ov.rc[r]), diffs=int(ov.diffs[r]), tlen=int(ov.tlen[r]),
+    )
+    return rec, tr
+
+
+def _lattice(ov: OverlapStore, r: int, tspace: int):
+    """(A_pts, W_pts) lattice coordinates of record r (W = B fwd strand)."""
+    a0, a1 = int(ov.a_start[r]), int(ov.a_end[r])
+    rc = int(ov.rc[r])
+    pairs = ov.trace_pairs(r)
+    A = [a0]
+    nb = a0
+    while True:
+        nb = (nb // tspace + 1) * tspace
+        if nb >= a1:
+            break
+        A.append(nb)
+    A.append(a1)
+    sign = -1 if rc else 1
+    w0 = int(ov.b_end[r]) if rc else int(ov.b_start[r])
+    W = [w0]
+    for j in range(len(A) - 2):
+        W.append(W[-1] + sign * int(pairs[j][1]))
+    W.append(int(ov.b_start[r]) if rc else int(ov.b_end[r]))
+    return np.asarray(A, np.int64), np.asarray(W, np.int64)
+
+
+def _mirror_record(ov: OverlapStore, r: int, tspace: int):
+    """The exact (j,i) twin of record r: swapped roles, B-grid trace points
+    interpolated along the SAME lattice, so summed lengths agree exactly."""
+    A, W = _lattice(ov, r, tspace)
+    rc = int(ov.rc[r])
+    b0, b1 = int(ov.b_start[r]), int(ov.b_end[r])
+    Bnds = [b0]
+    nb = b0
+    while True:
+        nb = (nb // tspace + 1) * tspace
+        if nb >= b1:
+            break
+        Bnds.append(nb)
+    Bnds.append(b1)
+    Bnds = np.asarray(Bnds, np.int64)
+    if rc == 0:
+        a_at = np.interp(Bnds, W, A)
+    else:
+        a_at = np.interp(Bnds, W[::-1], A[::-1])
+    a_at = np.round(a_at).astype(np.int64)
+    disp = np.abs(np.diff(a_at)).astype(np.int64)
+    # telescoping correction so displacements sum to the A span exactly
+    delta = (int(ov.a_end[r]) - int(ov.a_start[r])) - int(disp.sum())
+    if len(disp):
+        disp[-1] = max(0, disp[-1] + delta)
+    tr = np.zeros(2 * len(disp), dtype=np.uint16)
+    tr[1::2] = np.clip(disp, 0, 65534)
+    rec = dict(
+        a_id=int(ov.b_id[r]), b_id=int(ov.a_id[r]),
+        a_len=int(ov.b_len[r]), b_len=int(ov.a_len[r]),
+        a_start=b0, a_end=b1,
+        b_start=int(ov.a_start[r]), b_end=int(ov.a_end[r]),
+        rc=rc, diffs=int(ov.diffs[r]), tlen=2 * len(disp),
+    )
+    return rec, tr

@@ -64,8 +64,15 @@ def assemble(
     elif paf:
         parts = [read_paf(paf)]
     else:
-        raise ValueError("need --las or --paf")
-    has_db = bool(las)
+        # no overlapper output provided: run the built-in all-vs-all
+        # overlapper (replaces the reference's external DALIGNER run)
+        from hinge_tpu.overlap.mapper import overlap_reads
+
+        t_ovl = time.time()
+        parts = [overlap_reads(rs)]
+        log(f"[assemble] built-in overlapper: {parts[0].n} overlaps "
+            f"({time.time()-t_ovl:.1f}s)")
+    has_db = bool(las) or not paf
     log(f"[assemble] {rs.n_reads} reads, {sum(x.n for x in parts)} overlaps "
         f"({time.time()-t0:.1f}s)")
 

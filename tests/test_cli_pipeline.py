@@ -114,3 +114,15 @@ def test_cli_split_las(dataset, tmp_path):
     shutil.copy(dataset["las"], las_copy)
     _run_cli(["split_las", las_copy, "--max-records", "2000"], str(tmp_path))
     assert os.path.exists(str(tmp_path / "parts.1.las"))
+
+
+def test_fasta_only_assembly(dataset, tmp_path):
+    """Full assembly from FASTA alone: the built-in overlapper replaces the
+    external DALIGNER/minimap entirely."""
+    from hinge_tpu.pipeline import assemble
+
+    res = assemble(fasta=dataset["fasta"], workdir=str(tmp_path),
+                   log=lambda *a: None)
+    assert len(res["contigs"]) >= 2
+    name, seq = max(res["contigs"], key=lambda c: len(c[1]))
+    assert len(seq) > 0.7 * len(dataset["genome"])
