@@ -164,18 +164,13 @@ def align_overlap_rows_bulk(
     ts: List[np.ndarray] = []
     owner: List[int] = []
     for idx, (a_seq, b_seq, a0, a1, b0, b1, tp, tspace) in enumerate(items):
-        a_bounds = [a0]
-        nb = a0
-        while True:
-            nb = (nb // tspace + 1) * tspace
-            if nb >= a1:
-                break
-            a_bounds.append(nb)
-        a_bounds.append(a1)
-        b_bounds = [b0]
-        for jx in range(len(a_bounds) - 2):
-            b_bounds.append(b_bounds[-1] + int(tp[jx][1]))
-        b_bounds.append(b1)
+        interior = np.arange((a0 // tspace + 1) * tspace, a1, tspace, dtype=np.int64)
+        a_bounds = np.concatenate([[a0], interior, [a1]])
+        b_bounds = np.empty(len(a_bounds), dtype=np.int64)
+        b_bounds[0] = b0
+        if len(a_bounds) > 2:
+            b_bounds[1:-1] = b0 + np.cumsum(tp[: len(a_bounds) - 2, 1].astype(np.int64))
+        b_bounds[-1] = b1
         for k in range(len(a_bounds) - 1):
             qs.append(a_seq[a_bounds[k] : a_bounds[k + 1]])
             ts.append(b_seq[b_bounds[k] : b_bounds[k + 1]])
@@ -231,18 +226,15 @@ def align_with_trace_batch(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched drop-in for myers.align_with_trace: all windows of one
     overlap aligned in a single batch."""
-    a_bounds = [a_start]
-    nb = a_start
-    while True:
-        nb = (nb // tspace + 1) * tspace
-        if nb >= a_end:
-            break
-        a_bounds.append(nb)
-    a_bounds.append(a_end)
-    b_bounds = [b_start_raw]
-    for jx in range(len(a_bounds) - 2):
-        b_bounds.append(b_bounds[-1] + int(trace_pairs[jx][1]))
-    b_bounds.append(b_end_raw)
+    interior = np.arange((a_start // tspace + 1) * tspace, a_end, tspace, dtype=np.int64)
+    a_bounds = np.concatenate([[a_start], interior, [a_end]])
+    b_bounds = np.empty(len(a_bounds), dtype=np.int64)
+    b_bounds[0] = b_start_raw
+    if len(a_bounds) > 2:
+        b_bounds[1:-1] = b_start_raw + np.cumsum(
+            trace_pairs[: len(a_bounds) - 2, 1].astype(np.int64)
+        )
+    b_bounds[-1] = b_end_raw
 
     qs = [a_seq[a_bounds[k] : a_bounds[k + 1]] for k in range(len(a_bounds) - 1)]
     ts = [b_seq[b_bounds[k] : b_bounds[k + 1]] for k in range(len(b_bounds) - 1)]

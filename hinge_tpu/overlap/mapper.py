@@ -128,8 +128,62 @@ def map_reads_to_targets(
     min_hits: int = 4,
     band_width: int = 500,
     tspace: int = 100,
+    query_block: int = 2048,
+    half_pairs: bool = False,
 ) -> OverlapStore:
+    """Chunked over query reads so the hit table stays bounded (all-vs-all
+    at genome scale would otherwise materialize 10^8+ hits at once).
+
+    half_pairs: all-vs-all mode where queries ARE the targets — keep only
+    hits with tid >= global rid, halving the hit table (the (j,i) twin of
+    every record is synthesized downstream by overlap_reads)."""
     index = build_index(targets, k, w)
+    if rs.n_reads > query_block:
+        stores = []
+        for lo in range(0, rs.n_reads, query_block):
+            hi = min(lo + query_block, rs.n_reads)
+            sub = ReadStore(
+                length=rs.length[lo:hi],
+                bases_off=(rs.bases_off[lo : hi + 1] - rs.bases_off[lo]),
+                bases=rs.bases[rs.bases_off[lo] : rs.bases_off[hi]],
+            )
+            part = _map_block(index, targets, sub, k, w, min_span, min_hits,
+                              band_width, tspace, rid_base=lo,
+                              half_pairs=half_pairs)
+            stores.append(part)
+        return _concat(stores, tspace)
+    return _map_block(index, targets, rs, k, w, min_span, min_hits,
+                      band_width, tspace, rid_base=0, half_pairs=half_pairs)
+
+
+def _concat(stores: List[OverlapStore], tspace: int) -> OverlapStore:
+    cols = {}
+    for f in ("a_id", "b_id", "a_len", "b_len", "a_start", "a_end",
+              "b_start", "b_end", "rc", "diffs", "tlen"):
+        cols[f] = np.concatenate([getattr(s, f) for s in stores]) if stores else np.zeros(0, INT)
+    trace = np.concatenate([s.trace for s in stores]) if stores else np.zeros(0, np.uint16)
+    offs = []
+    base = 0
+    for s in stores:
+        offs.append(s.trace_off + base)
+        base += len(s.trace)
+    cols["trace_off"] = np.concatenate(offs) if offs else np.zeros(0, np.int64)
+    return OverlapStore(trace=trace, tspace=tspace, **cols).sort_by_a()
+
+
+def _map_block(
+    index: MapperIndex,
+    targets: List[np.ndarray],
+    rs: ReadStore,
+    k: int,
+    w: int,
+    min_span: int,
+    min_hits: int,
+    band_width: int,
+    tspace: int,
+    rid_base: int = 0,
+    half_pairs: bool = False,
+) -> OverlapStore:
     n_targets = len(targets)
 
     # ---- 1. all query minimizers ----
@@ -145,9 +199,9 @@ def map_reads_to_targets(
             codes = read if strand == 0 else revcomp_codes(read)
             pos, h = minimizers(codes, k, w)
             q_hash.append(h)
-            q_pos.append(pos)
-            q_rid.append(np.full(len(h), rid, dtype=np.int64))
-            q_str.append(np.full(len(h), strand, dtype=np.int64))
+            q_pos.append(pos.astype(np.int32))
+            q_rid.append(np.full(len(h), rid, dtype=np.int32))
+            q_str.append(np.full(len(h), strand, dtype=np.int32))
     if not q_hash:
         return OverlapStore.from_arrays(tspace=tspace, a_id=np.zeros(0, INT), b_id=np.zeros(0, INT),
                                         a_len=np.zeros(0, INT), b_len=np.zeros(0, INT),
@@ -160,29 +214,49 @@ def map_reads_to_targets(
     qs = np.concatenate(q_str)
 
     # ---- 2. join against the sorted index ----
-    lo = np.searchsorted(index.hashes, qh, side="left")
-    hi = np.searchsorted(index.hashes, qh, side="right")
+    # queries sorted by hash first: successive binary searches then walk the
+    # index in order (warm cache) instead of jumping randomly — several-fold
+    # faster at 10^6+ lookups
+    qord = np.argsort(qh, kind="stable")
+    lo = np.searchsorted(index.hashes, qh[qord], side="left")
+    hi = np.searchsorted(index.hashes, qh[qord], side="right")
     cnt = hi - lo
     tot = int(cnt.sum())
     if tot == 0:
         return _empty(tspace)
     # flat bucket indices: repeat(lo) + intra-bucket arange
-    rep = np.repeat(np.arange(len(qh)), cnt)
-    base = np.repeat(lo, cnt)
-    intra = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-    packed = index.packed[base + intra]
-    h_tid = (packed >> np.uint64(40)).astype(np.int64)
-    h_tpos = (packed & np.uint64((1 << 40) - 1)).astype(np.int64)
-    h_qpos = qp[rep]
+    rep = qord[np.repeat(np.arange(len(qh), dtype=np.int64), cnt)]
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    packed = index.packed[np.repeat(lo, cnt) + intra]
+    del intra
     h_rid = qr[rep]
+    if half_pairs:
+        # all-vs-all: keep tid >= global rid only (packed = tid<<40 | pos, so
+        # one uint64 compare); the (j,i) twins are synthesized downstream
+        keep = packed >= ((h_rid.astype(np.uint64) + np.uint64(rid_base))
+                          << np.uint64(40))
+        packed, rep, h_rid = packed[keep], rep[keep], h_rid[keep]
+        tot = len(packed)
+        if tot == 0:
+            return _empty(tspace)
+    h_tid = (packed >> np.uint64(40)).astype(np.int32)
+    h_tpos = (packed & np.uint64((1 << 40) - 1)).astype(np.int32)
+    h_qpos = qp[rep]
     h_str = qs[rep]
 
     # ---- 3. diagonal-band histogram per (read, strand, target) ----
-    group = (h_rid * 2 + h_str) * n_targets + h_tid
     diag = h_tpos - h_qpos  # can be negative
-    band = (diag + (1 << 30)) // band_width
-    order = np.lexsort((band, group))
-    g_s, b_s = group[order], band[order]
+    band = (diag + np.int32(1 << 30)) // np.int32(band_width)
+    bmin = int(band.min())
+    band -= np.int32(bmin)
+    n_bands = np.int64(int(band.max()) + 1)
+    # one int64 key sort instead of a two-pass lexsort
+    group = ((h_rid.astype(np.int64) * 2 + h_str) * n_targets + h_tid)
+    key = group * n_bands + band
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    g_s, b_s = key_s // n_bands, (key_s % n_bands).astype(np.int64)
+    del key, key_s, group
     gb_new = np.ones(tot, dtype=bool)
     gb_new[1:] = (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])
     gb_start = np.nonzero(gb_new)[0]
@@ -206,80 +280,115 @@ def map_reads_to_targets(
     first_best = np.full(n_grp, 1 << 60, dtype=np.int64)
     np.minimum.at(first_best, grp_idx[is_best], np.nonzero(is_best)[0].astype(np.int64))
 
-    keep_groups = best_count >= min_hits
-    cols = {key: [] for key in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()}
-    trace_chunks: List[np.ndarray] = []
-
-    for g in np.nonzero(keep_groups)[0]:
-        gb = int(first_best[g])
-        grp = int(gb_group[gb])
-        b0 = int(gb_band[gb])
-        # hits of this group in bands {b0, b0+1}
-        s = gb_start[gb]
-        e = s + gb_count[gb]
-        if gb + 1 < len(gb_start) and nxt_same[gb]:
-            e = gb_start[gb + 1] + gb_count[gb + 1]
-        idxs = order[s:e]
-        tq = h_qpos[idxs]
-        tt = h_tpos[idxs]
-        o2 = np.argsort(tq, kind="stable")
-        tq, tt = tq[o2], tt[o2]
-        # enforce monotone t (greedy)
-        keep = np.maximum.accumulate(tt) == tt
-        tq, tt = tq[keep], tt[keep]
-        if len(tq) < min_hits:
-            continue
-        rid = grp // (2 * n_targets)
-        strand = (grp // n_targets) % 2
-        tid = grp % n_targets
-        blen = len(read_codes[rid])
-        alen = int(index.t_len[tid])
-        q0, q1 = int(tq[0]), int(tq[-1]) + k
-        t0, t1 = int(tt[0]), int(tt[-1]) + k
-        if q1 - q0 < min_span or t1 - t0 < min_span:
-            continue
-        if strand == 0:
-            b_start, b_end = q0, q1
-        else:
-            b_start, b_end = blen - q1, blen - q0
-        # trace displacements from anchor interpolation over A positions
-        bounds = [t0]
-        nb = t0
-        while True:
-            nb = (nb // tspace + 1) * tspace
-            if nb >= t1:
-                break
-            bounds.append(nb)
-        bounds.append(t1)
-        ba = np.interp(bounds, tt, tq)
-        ba[0], ba[-1] = q0, q1
-        disp = np.diff(np.round(ba).astype(np.int64))
-        disp = np.clip(disp, 0, 65534).astype(np.int64)
-        span = q1 - q0
-        delta = span - int(disp.sum())
-        if len(disp) and 0 <= int(disp[-1]) + delta < 65535:
-            disp[-1] += delta
-        tr = np.zeros(2 * len(disp), dtype=np.uint16)
-        tr[1::2] = disp
-        cols["a_id"].append(tid)
-        cols["b_id"].append(rid)
-        cols["a_len"].append(alen)
-        cols["b_len"].append(blen)
-        cols["a_start"].append(t0)
-        cols["a_end"].append(t1)
-        cols["b_start"].append(b_start)
-        cols["b_end"].append(b_end)
-        cols["rc"].append(strand)
-        cols["diffs"].append(0)
-        cols["tlen"].append(2 * len(disp))
-        trace_chunks.append(tr)
-
-    trace = np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, np.uint16)
-    if not cols["a_id"]:
+    keep_groups = np.nonzero(best_count >= min_hits)[0]
+    if len(keep_groups) == 0:
         return _empty(tspace)
+
+    # ---- 4. vectorized emission over all accepted groups ----
+    # flat hit table of every accepted group's (band, band+1) slice
+    gbs = first_best[keep_groups].astype(np.int64)
+    seg_s = gb_start[gbs]
+    seg_e = seg_s + gb_count[gbs]
+    ext = (gbs + 1 < len(gb_start)) & nxt_same[gbs]
+    seg_e = np.where(ext, gb_start[np.minimum(gbs + 1, len(gb_start) - 1)]
+                     + gb_count[np.minimum(gbs + 1, len(gb_count) - 1)], seg_e)
+    seg_len = (seg_e - seg_s).astype(np.int64)
+    G = len(gbs)
+    tot_h = int(seg_len.sum())
+    row_of = np.repeat(np.arange(G, dtype=np.int64), seg_len)
+    flat = np.arange(tot_h, dtype=np.int64)
+    flat -= np.repeat(np.cumsum(seg_len) - seg_len, seg_len)
+    flat += np.repeat(seg_s, seg_len)
+    idxs = order[flat]
+    tq = h_qpos[idxs].astype(np.int64)
+    tt = h_tpos[idxs].astype(np.int64)
+    # sort hits by (group row, qpos) — single int64 key
+    o2 = np.argsort((row_of << np.int64(31)) | tq, kind="stable")
+    row_s, tq_s, tt_s = row_of[o2], tq[o2], tt[o2]
+    # segmented monotone-t filter: cummax within group via large offsets
+    LARGE = np.int64(1) << 42
+    mono = np.maximum.accumulate(tt_s + row_s * LARGE) - row_s * LARGE
+    keep_h = mono == tt_s
+    row_s, tq_s, tt_s = row_s[keep_h], tq_s[keep_h], tt_s[keep_h]
+    # per-group boundaries after filtering
+    cnt_g = np.bincount(row_s, minlength=G)
+    gstart = np.concatenate([[0], np.cumsum(cnt_g)[:-1]])
+    gend = np.cumsum(cnt_g) - 1
+    ok = cnt_g >= min_hits
+    q0 = np.where(ok, tq_s[np.clip(gstart, 0, max(len(tq_s) - 1, 0))], 0)
+    q1 = np.where(ok, tq_s[np.clip(gend, 0, max(len(tq_s) - 1, 0))] + k, 0)
+    t0 = np.where(ok, tt_s[np.clip(gstart, 0, max(len(tt_s) - 1, 0))], 0)
+    t1 = np.where(ok, tt_s[np.clip(gend, 0, max(len(tt_s) - 1, 0))] + k, 0)
+    ok &= (q1 - q0 >= min_span) & (t1 - t0 >= min_span)
+
+    grp = gb_group[gbs]
+    rid = (grp // (2 * n_targets)).astype(np.int64)
+    strand = ((grp // n_targets) % 2).astype(np.int64)
+    tid = (grp % n_targets).astype(np.int64)
+    blen = rs.length[rid].astype(np.int64)
+    alen = index.t_len[tid].astype(np.int64)
+    b_start = np.where(strand == 0, q0, blen - q1)
+    b_end = np.where(strand == 0, q1, blen - q0)
+
+    acc = np.nonzero(ok)[0]
+    if len(acc) == 0:
+        return _empty(tspace)
+
+    # ---- 5. vectorized trace interpolation over all accepted groups ----
+    # flat table of every group's tspace-grid bounds [T0, k*tspace..., T1]
+    T0a, T1a = t0[acc], t1[acc]
+    Q0a, Q1a = q0[acc], q1[acc]
+    n_int = np.maximum((T1a - 1) // tspace - T0a // tspace, 0)
+    nb_g = n_int + 2
+    G2 = len(acc)
+    roff = np.cumsum(nb_g) - nb_g
+    NBtot = int(nb_g.sum())
+    row_b = np.repeat(np.arange(G2, dtype=np.int64), nb_g)
+    jj2 = np.arange(NBtot, dtype=np.int64) - roff[row_b]
+    last_j = nb_g[row_b] - 1
+    bounds = (T0a[row_b] // tspace + jj2) * tspace
+    bounds = np.where(jj2 == 0, T0a[row_b],
+                      np.where(jj2 == last_j, T1a[row_b], bounds))
+    # segmented np.interp of bounds against each group's (tt, tq) anchors:
+    # one global searchsorted on the group-offset keys (j = last anchor <= q,
+    # same interval choice as np.interp's binary search, incl. duplicate x)
+    jh = np.searchsorted(tt_s + row_s * LARGE,
+                         bounds + acc[row_b] * LARGE, side="right") - 1
+    ge_b = gend[acc][row_b]
+    x0v, y0v = tt_s[jh], tq_s[jh]
+    has_next = jh < ge_b
+    jn = np.minimum(jh + 1, ge_b)
+    denom = tt_s[jn] - x0v
+    frac = np.where(has_next, (bounds - x0v) / np.maximum(denom, 1), 0.0)
+    ba = y0v + frac * (tq_s[jn] - y0v)
+    ba = np.where(jj2 == 0, Q0a[row_b].astype(np.float64),
+                  np.where(jj2 == last_j, Q1a[row_b].astype(np.float64), ba))
+    bar = np.round(ba).astype(np.int64)
+    # per-group displacement diffs (mask out cross-group positions)
+    disp_flat = np.clip(bar[1:] - bar[:-1], 0, 65534)
+    valid_d = row_b[1:] == row_b[:-1]
+    dsum = np.bincount(
+        row_b[1:][valid_d], weights=disp_flat[valid_d].astype(np.float64),
+        minlength=G2,
+    ).astype(np.int64)
+    # fold the rounding remainder into each group's last displacement
+    delta = (Q1a - Q0a) - dsum
+    last_idx = roff + nb_g - 2
+    newlast = disp_flat[last_idx] + delta
+    okd = (newlast >= 0) & (newlast < 65535)
+    disp_flat[last_idx] = np.where(okd, newlast, disp_flat[last_idx])
+    dispv = disp_flat[valid_d]
+    trace = np.zeros(2 * len(dispv), dtype=np.uint16)
+    trace[1::2] = dispv
+
     return OverlapStore.from_arrays(
         tspace=tspace, trace=trace,
-        **{kk: np.asarray(v, dtype=np.int64) for kk, v in cols.items()},
+        a_id=tid[acc], b_id=rid[acc] + rid_base,
+        a_len=alen[acc], b_len=blen[acc],
+        a_start=T0a, a_end=T1a,
+        b_start=b_start[acc], b_end=b_end[acc],
+        rc=strand[acc], diffs=np.zeros(G2, dtype=np.int64),
+        tlen=2 * (nb_g - 1),
     ).sort_by_a()
 
 
@@ -313,7 +422,7 @@ def overlap_reads(
     targets = [rs.get_bases(i) for i in range(rs.n_reads)]
     ov = map_reads_to_targets(
         targets, rs, k=k, w=w, min_span=min_span, min_hits=min_hits,
-        band_width=band_width, tspace=tspace,
+        band_width=band_width, tspace=tspace, half_pairs=True,
     )
     diag = ov.a_start.astype(np.int64) - ov.b_start.astype(np.int64)
     trivial = (ov.a_id == ov.b_id) & (ov.rc == 0) & (np.abs(diag) < band_width)
@@ -373,21 +482,18 @@ def _lattice(ov: OverlapStore, r: int, tspace: int):
     a0, a1 = int(ov.a_start[r]), int(ov.a_end[r])
     rc = int(ov.rc[r])
     pairs = ov.trace_pairs(r)
-    A = [a0]
-    nb = a0
-    while True:
-        nb = (nb // tspace + 1) * tspace
-        if nb >= a1:
-            break
-        A.append(nb)
-    A.append(a1)
+    interior = np.arange((a0 // tspace + 1) * tspace, a1, tspace, dtype=np.int64)
+    A = np.concatenate([[a0], interior, [a1]])
     sign = -1 if rc else 1
     w0 = int(ov.b_end[r]) if rc else int(ov.b_start[r])
-    W = [w0]
-    for j in range(len(A) - 2):
-        W.append(W[-1] + sign * int(pairs[j][1]))
-    W.append(int(ov.b_start[r]) if rc else int(ov.b_end[r]))
-    return np.asarray(A, np.int64), np.asarray(W, np.int64)
+    wend = int(ov.b_start[r]) if rc else int(ov.b_end[r])
+    disp = pairs[:, 1].astype(np.int64)
+    W = np.empty(len(A), dtype=np.int64)
+    W[0] = w0
+    if len(A) > 2:
+        W[1:-1] = w0 + sign * np.cumsum(disp[: len(A) - 2])
+    W[-1] = wend
+    return A, W
 
 
 def _mirror_record(ov: OverlapStore, r: int, tspace: int):
@@ -396,15 +502,8 @@ def _mirror_record(ov: OverlapStore, r: int, tspace: int):
     A, W = _lattice(ov, r, tspace)
     rc = int(ov.rc[r])
     b0, b1 = int(ov.b_start[r]), int(ov.b_end[r])
-    Bnds = [b0]
-    nb = b0
-    while True:
-        nb = (nb // tspace + 1) * tspace
-        if nb >= b1:
-            break
-        Bnds.append(nb)
-    Bnds.append(b1)
-    Bnds = np.asarray(Bnds, np.int64)
+    interior = np.arange((b0 // tspace + 1) * tspace, b1, tspace, dtype=np.int64)
+    Bnds = np.concatenate([[b0], interior, [b1]])
     if rc == 0:
         a_at = np.interp(Bnds, W, A)
     else:
