@@ -62,5 +62,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fasta_scan.restype = c.c_int64
         if hasattr(lib, "minimizers"):
             lib.minimizers.restype = c.c_int64
+        if hasattr(lib, "map_block_hits"):
+            lib.map_block_hits.restype = c.c_int64
         _lib = lib
         return _lib

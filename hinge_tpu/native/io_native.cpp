@@ -11,6 +11,8 @@
 // [tlen diffs abpos bbpos aepos bepos flags aread bread pad] followed by
 // tlen trace values of uint8 (tspace <= 125) or uint16.
 
+#include <algorithm>
+#include <climits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -255,6 +257,216 @@ int64_t minimizers(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     }
   }
   return cnt;
+}
+
+// ---- minimizer hit join + diagonal-band chaining (mapper._map_block) ----
+// The all-vs-all hot loop: for every query minimizer, walk its index bucket
+// and histogram hits into (target, strand, diagonal-band) groups.  All state
+// is per-READ (small, cache-resident) — no global hit table is ever
+// materialized, unlike the numpy fallback which builds the full join.
+// Accepted groups (best adjacent band pair >= min_hits) emit their banded
+// hits, subsampled to >= sub_gap bp apart on the query (first and last hit
+// always kept: span endpoints).  Semantics match mapper._map_block steps
+// 2-4 (reference has no equivalent; DALIGNER is external, SURVEY.md L0).
+
+static constexpr uint64_t kBandBits = 25;  // band < 2^31/band_width < 2^25
+
+struct LocalMap {
+  // open-addressing (key -> count/accept_row), epoch-tagged so reads reset
+  // in O(1); grows geometrically and never shrinks across reads
+  std::vector<uint64_t> key;
+  std::vector<uint32_t> epoch;
+  std::vector<int32_t> count;
+  std::vector<int32_t> accept_row;
+  uint64_t mask = 0;
+  uint32_t cur_epoch = 0;
+  size_t used = 0;
+
+  void init(size_t cap_pow2) {
+    key.assign(cap_pow2, 0);
+    epoch.assign(cap_pow2, 0);
+    count.assign(cap_pow2, 0);
+    accept_row.assign(cap_pow2, -1);
+    mask = cap_pow2 - 1;
+  }
+  void new_read() { cur_epoch++; used = 0; }
+  size_t slot(uint64_t k_) const {
+    uint64_t h = k_ * 0x9E3779B97F4A7C15ULL;
+    return static_cast<size_t>((h >> 17) & mask);
+  }
+  // returns slot index; inserts with count 0 if fresh this epoch
+  size_t find_or_insert(uint64_t k_, bool* fresh) {
+    size_t s = slot(k_);
+    for (;;) {
+      if (epoch[s] != cur_epoch) {
+        key[s] = k_;
+        epoch[s] = cur_epoch;
+        count[s] = 0;
+        accept_row[s] = -1;
+        *fresh = true;
+        used++;
+        return s;
+      }
+      if (key[s] == k_) {
+        *fresh = false;
+        return s;
+      }
+      s = (s + 1) & mask;
+    }
+  }
+  // lookup only; returns SIZE_MAX if absent this epoch
+  size_t find(uint64_t k_) const {
+    size_t s = slot(k_);
+    for (;;) {
+      if (epoch[s] != cur_epoch) return SIZE_MAX;
+      if (key[s] == k_) return s;
+      s = (s + 1) & mask;
+    }
+  }
+};
+
+struct HitRec {
+  uint64_t key;
+  int32_t q, t;
+};
+
+// Returns n_groups (>= 0) or -1 if an output capacity was exceeded (caller
+// retries with larger buffers).  Query minimizers arrive as 2*n_reads
+// streams (read-major, strand 0 then 1), stream s spanning
+// qh[stream_off[s] : stream_off[s+1]].
+int64_t map_block_hits(
+    const uint64_t* idx_hash, const uint64_t* idx_packed, int64_t n_idx,
+    const uint64_t* qh, const int32_t* qpos,
+    const int64_t* stream_off, int64_t n_reads,
+    int64_t rid_base, int32_t half_pairs,
+    int32_t band_width, int32_t min_hits, int32_t sub_gap,
+    int32_t* out_row, int32_t* out_q, int32_t* out_t, int64_t cap_hits,
+    int32_t* out_rid, int32_t* out_strand, int64_t* out_tid,
+    int64_t cap_groups, int64_t* n_hits_out) {
+  const uint64_t kMask40 = (1ULL << 40) - 1;
+  const uint64_t kBandMask = (1ULL << kBandBits) - 1;
+  LocalMap lm;
+  lm.init(1 << 14);
+  std::vector<HitRec> buf;
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> row_last_emit_q, row_last_seen_q, row_last_seen_t;
+  int64_t n_groups = 0, n_hits = 0;
+
+  for (int64_t r = 0; r < n_reads; r++) {
+    lm.new_read();
+    buf.clear();
+    keys.clear();
+    const uint64_t min_tid =
+        half_pairs ? static_cast<uint64_t>(r + rid_base) : 0;
+    for (int s = 0; s < 2; s++) {
+      const int64_t st = stream_off[2 * r + s], en = stream_off[2 * r + s + 1];
+      for (int64_t i = st; i < en; i++) {
+        const uint64_t h = qh[i];
+        const uint64_t* lo =
+            std::lower_bound(idx_hash, idx_hash + n_idx, h);
+        const uint64_t* hi = lo;
+        while (hi < idx_hash + n_idx && *hi == h) hi++;
+        const int32_t qp = qpos[i];
+        for (const uint64_t* e = lo; e < hi; e++) {
+          const uint64_t packed = idx_packed[e - idx_hash];
+          const uint64_t tid = packed >> 40;
+          if (tid < min_tid) continue;
+          const int64_t tpos = static_cast<int64_t>(packed & kMask40);
+          const uint64_t band =
+              static_cast<uint64_t>(tpos - qp + (1LL << 30)) /
+              static_cast<uint32_t>(band_width);
+          const uint64_t k_ =
+              (((tid << 1) | static_cast<uint64_t>(s)) << kBandBits) | band;
+          bool fresh;
+          // grow before the table saturates (load factor 0.7)
+          if (lm.used * 10 > lm.mask * 7) {
+            std::vector<HitRec> snapshot(buf);
+            lm.init((lm.mask + 1) * 2);
+            lm.new_read();
+            keys.clear();
+            for (const HitRec& hr : snapshot) {
+              size_t sl = lm.find_or_insert(hr.key, &fresh);
+              if (fresh) keys.push_back(hr.key);
+              lm.count[sl]++;
+            }
+          }
+          size_t sl = lm.find_or_insert(k_, &fresh);
+          if (fresh) keys.push_back(k_);
+          lm.count[sl]++;
+          buf.push_back({k_, qp, static_cast<int32_t>(tpos)});
+        }
+      }
+    }
+    if (keys.empty()) continue;
+
+    // evaluate groups: best adjacent band pair per (tid, strand)
+    std::sort(keys.begin(), keys.end());
+    const int64_t row_base = n_groups;
+    size_t gi = 0;
+    while (gi < keys.size()) {
+      size_t gj = gi;
+      const uint64_t grp = keys[gi] >> kBandBits;
+      while (gj < keys.size() && (keys[gj] >> kBandBits) == grp) gj++;
+      int32_t best = -1;
+      size_t best_i = gi;
+      for (size_t x = gi; x < gj; x++) {
+        int32_t c = lm.count[lm.find(keys[x])];
+        if (x + 1 < gj && keys[x + 1] == keys[x] + 1)
+          c += lm.count[lm.find(keys[x + 1])];
+        if (c > best) {
+          best = c;
+          best_i = x;
+        }
+      }
+      if (best >= min_hits) {
+        if (n_groups >= cap_groups) return -1;
+        const int32_t row = static_cast<int32_t>(n_groups - row_base);
+        lm.accept_row[lm.find(keys[best_i])] = row;
+        if (best_i + 1 < gj && keys[best_i + 1] == keys[best_i] + 1)
+          lm.accept_row[lm.find(keys[best_i + 1])] = row;
+        out_rid[n_groups] = static_cast<int32_t>(r);
+        out_strand[n_groups] = static_cast<int32_t>((grp & 1));
+        out_tid[n_groups] = static_cast<int64_t>(grp >> 1);
+        n_groups++;
+      }
+      gi = gj;
+    }
+    const int64_t rows_here = n_groups - row_base;
+    if (rows_here == 0) continue;
+
+    // emit banded hits, subsampled to sub_gap bp on the query axis
+    row_last_emit_q.assign(rows_here, INT32_MIN);
+    row_last_seen_q.assign(rows_here, INT32_MIN);
+    row_last_seen_t.assign(rows_here, 0);
+    for (const HitRec& hr : buf) {
+      const size_t sl = lm.find(hr.key);
+      const int32_t row = lm.accept_row[sl];
+      if (row < 0) continue;
+      row_last_seen_q[row] = hr.q;
+      row_last_seen_t[row] = hr.t;
+      if (row_last_emit_q[row] != INT32_MIN &&
+          hr.q - row_last_emit_q[row] < sub_gap)
+        continue;
+      if (n_hits >= cap_hits) return -1;
+      out_row[n_hits] = static_cast<int32_t>(row_base + row);
+      out_q[n_hits] = hr.q;
+      out_t[n_hits] = hr.t;
+      n_hits++;
+      row_last_emit_q[row] = hr.q;
+    }
+    for (int64_t row = 0; row < rows_here; row++) {
+      if (row_last_seen_q[row] != INT32_MIN &&
+          row_last_seen_q[row] != row_last_emit_q[row]) {
+        if (n_hits >= cap_hits) return -1;
+        out_row[n_hits] = static_cast<int32_t>(row_base + row);
+        out_q[n_hits] = row_last_seen_q[row];
+        out_t[n_hits] = row_last_seen_t[row];
+        n_hits++;
+      }
+    }
+  }
+  *n_hits_out = n_hits;
+  return n_groups;
 }
 
 }  // extern "C"

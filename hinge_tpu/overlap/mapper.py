@@ -213,6 +213,25 @@ def _map_block(
     qr = np.concatenate(q_rid)
     qs = np.concatenate(q_str)
 
+    # native C join+chaining core: per-read local hash histogram, no global
+    # hit table (orders of magnitude less memory traffic than the numpy
+    # join below); falls back to numpy when the toolchain is unavailable
+    native = _native_map_block(
+        index, qh, qp, [len(h) for h in q_hash], rid_base, half_pairs,
+        band_width, min_hits,
+    )
+    if native is not None:
+        hit_row, hit_q, hit_t, g_rid, g_strand, g_tid = native
+        if len(g_rid) == 0:
+            return _empty(tspace)
+        # min_hits was already enforced on the full (pre-subsample) band
+        # counts inside the native pass; only degenerate rows drop here
+        return _emit_records(
+            hit_row.astype(np.int64), hit_q.astype(np.int64),
+            hit_t.astype(np.int64), g_rid, g_strand, g_tid,
+            rs, index, k, min_span, 2, tspace, rid_base,
+        )
+
     # ---- 2. join against the sorted index ----
     # queries sorted by hash first: successive binary searches then walk the
     # index in order (warm cache) instead of jumping randomly — several-fold
@@ -302,6 +321,84 @@ def _map_block(
     idxs = order[flat]
     tq = h_qpos[idxs].astype(np.int64)
     tt = h_tpos[idxs].astype(np.int64)
+
+    grp = gb_group[gbs]
+    g_rid = (grp // (2 * n_targets)).astype(np.int64)
+    g_strand = ((grp // n_targets) % 2).astype(np.int64)
+    g_tid = (grp % n_targets).astype(np.int64)
+    return _emit_records(row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
+                         k, min_span, min_hits, tspace, rid_base)
+
+
+def _native_map_block(index: MapperIndex, qh, qp, stream_lens,
+                      rid_base, half_pairs, band_width, min_hits,
+                      sub_gap: int = 32):
+    """ctypes call into map_block_hits (io_native.cpp); None if the native
+    library is unavailable. Returns (hit_row, hit_q, hit_t, g_rid, g_strand,
+    g_tid) with hits subsampled to >= sub_gap bp apart on the query."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "map_block_hits"):
+        return None
+    stream_off = np.zeros(len(stream_lens) + 1, dtype=np.int64)
+    np.cumsum(stream_lens, out=stream_off[1:])
+    n_reads = len(stream_lens) // 2
+    qh = np.ascontiguousarray(qh, dtype=np.uint64)
+    qp32 = np.ascontiguousarray(qp, dtype=np.int32)
+    hashes = np.ascontiguousarray(index.hashes, dtype=np.uint64)
+    packed = np.ascontiguousarray(index.packed, dtype=np.uint64)
+    c = ctypes
+    cap_hits = max(1 << 20, 2 * len(qh))
+    cap_groups = 1 << 18
+    while True:
+        out_row = np.empty(cap_hits, dtype=np.int32)
+        out_q = np.empty(cap_hits, dtype=np.int32)
+        out_t = np.empty(cap_hits, dtype=np.int32)
+        out_rid = np.empty(cap_groups, dtype=np.int32)
+        out_strand = np.empty(cap_groups, dtype=np.int32)
+        out_tid = np.empty(cap_groups, dtype=np.int64)
+        n_hits = c.c_int64(0)
+        ng = lib.map_block_hits(
+            hashes.ctypes.data_as(c.POINTER(c.c_uint64)),
+            packed.ctypes.data_as(c.POINTER(c.c_uint64)),
+            c.c_int64(len(hashes)),
+            qh.ctypes.data_as(c.POINTER(c.c_uint64)),
+            qp32.ctypes.data_as(c.POINTER(c.c_int32)),
+            stream_off.ctypes.data_as(c.POINTER(c.c_int64)),
+            c.c_int64(n_reads),
+            c.c_int64(rid_base), c.c_int32(1 if half_pairs else 0),
+            c.c_int32(band_width), c.c_int32(min_hits), c.c_int32(sub_gap),
+            out_row.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_q.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_t.ctypes.data_as(c.POINTER(c.c_int32)),
+            c.c_int64(cap_hits),
+            out_rid.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_strand.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_tid.ctypes.data_as(c.POINTER(c.c_int64)),
+            c.c_int64(cap_groups),
+            c.byref(n_hits),
+        )
+        if ng == -1:
+            cap_hits *= 2
+            cap_groups *= 2
+            continue
+        nh = n_hits.value
+        return (out_row[:nh], out_q[:nh], out_t[:nh],
+                out_rid[:ng].astype(np.int64), out_strand[:ng].astype(np.int64),
+                out_tid[:ng])
+
+
+def _emit_records(row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
+                  k, min_span, min_cnt, tspace, rid_base):
+    """OverlapStore records from per-group banded hits: monotone-t filter,
+    span check, then one flat vectorized trace-point interpolation pass.
+    Shared tail of the native and numpy _map_block paths."""
+    G = len(g_rid)
+    if G == 0 or len(row_of) == 0:
+        return _empty(tspace)
     # sort hits by (group row, qpos) — single int64 key
     o2 = np.argsort((row_of << np.int64(31)) | tq, kind="stable")
     row_s, tq_s, tt_s = row_of[o2], tq[o2], tt[o2]
@@ -314,17 +411,14 @@ def _map_block(
     cnt_g = np.bincount(row_s, minlength=G)
     gstart = np.concatenate([[0], np.cumsum(cnt_g)[:-1]])
     gend = np.cumsum(cnt_g) - 1
-    ok = cnt_g >= min_hits
+    ok = cnt_g >= min_cnt
     q0 = np.where(ok, tq_s[np.clip(gstart, 0, max(len(tq_s) - 1, 0))], 0)
     q1 = np.where(ok, tq_s[np.clip(gend, 0, max(len(tq_s) - 1, 0))] + k, 0)
     t0 = np.where(ok, tt_s[np.clip(gstart, 0, max(len(tt_s) - 1, 0))], 0)
     t1 = np.where(ok, tt_s[np.clip(gend, 0, max(len(tt_s) - 1, 0))] + k, 0)
     ok &= (q1 - q0 >= min_span) & (t1 - t0 >= min_span)
 
-    grp = gb_group[gbs]
-    rid = (grp // (2 * n_targets)).astype(np.int64)
-    strand = ((grp // n_targets) % 2).astype(np.int64)
-    tid = (grp % n_targets).astype(np.int64)
+    rid, strand, tid = g_rid, g_strand, g_tid
     blen = rs.length[rid].astype(np.int64)
     alen = index.t_len[tid].astype(np.int64)
     b_start = np.where(strand == 0, q0, blen - q1)
