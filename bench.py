@@ -117,7 +117,7 @@ def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
     return N_OV / dt, dt
 
 
-def _device_bench_subprocess(timeout_s: int = 420, force_cpu: bool = False):
+def _device_bench_subprocess(timeout_s: int = 1500, force_cpu: bool = False):
     """Run the device bench in a child process with a hard timeout.
 
     The single TPU here sits behind a tunnel whose claim can wedge if a
@@ -127,10 +127,16 @@ def _device_bench_subprocess(timeout_s: int = 420, force_cpu: bool = False):
     import subprocess
 
     code = (
-        "import json; from bench import synth, bench_device\n"
+        "import json, jax\n"
+        # persistent compile cache: the axon tunnel compiles remotely and can
+        # take minutes on the first run of a big scatter graph; cached
+        # executables come back in seconds on subsequent runs
+        "jax.config.update('jax_compilation_cache_dir', "
+        f"{os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        "from bench import synth, bench_device\n"
         "a,b,c,d = synth()\n"
         "rps, dt = bench_device(a,b,c,d)\n"
-        "import jax\n"
         "print('BENCH_RESULT ' + json.dumps({'rps': rps, 'backend': jax.default_backend()}))\n"
     )
     env = dict(os.environ)

@@ -12,7 +12,9 @@
 // tlen trace values of uint8 (tspace <= 125) or uint16.
 
 #include <algorithm>
+#include <atomic>
 #include <climits>
+#include <thread>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -330,29 +332,26 @@ struct HitRec {
   int32_t q, t;
 };
 
-// Returns n_groups (>= 0) or -1 if an output capacity was exceeded (caller
-// retries with larger buffers).  Query minimizers arrive as 2*n_reads
-// streams (read-major, strand 0 then 1), stream s spanning
-// qh[stream_off[s] : stream_off[s+1]].
-int64_t map_block_hits(
+struct ChainOut {
+  std::vector<int32_t> row, q, t, rid, strand;
+  std::vector<int64_t> tid;
+};
+
+// Chain reads [r0, r1) into private output vectors (one worker's share).
+static void chain_read_range(
     const uint64_t* idx_hash, const uint64_t* idx_packed, int64_t n_idx,
-    const uint64_t* qh, const int32_t* qpos,
-    const int64_t* stream_off, int64_t n_reads,
-    int64_t rid_base, int32_t half_pairs,
-    int32_t band_width, int32_t min_hits, int32_t sub_gap,
-    int32_t* out_row, int32_t* out_q, int32_t* out_t, int64_t cap_hits,
-    int32_t* out_rid, int32_t* out_strand, int64_t* out_tid,
-    int64_t cap_groups, int64_t* n_hits_out) {
+    const uint64_t* qh, const int32_t* qpos, const int64_t* stream_off,
+    int64_t r0, int64_t r1, int64_t rid_base, int32_t half_pairs,
+    int32_t band_width, int32_t min_hits, int32_t sub_gap, ChainOut& out) {
   const uint64_t kMask40 = (1ULL << 40) - 1;
-  const uint64_t kBandMask = (1ULL << kBandBits) - 1;
   LocalMap lm;
   lm.init(1 << 14);
   std::vector<HitRec> buf;
   std::vector<uint64_t> keys;
   std::vector<int32_t> row_last_emit_q, row_last_seen_q, row_last_seen_t;
-  int64_t n_groups = 0, n_hits = 0;
+  int64_t n_groups = 0;
 
-  for (int64_t r = 0; r < n_reads; r++) {
+  for (int64_t r = r0; r < r1; r++) {
     lm.new_read();
     buf.clear();
     keys.clear();
@@ -419,14 +418,13 @@ int64_t map_block_hits(
         }
       }
       if (best >= min_hits) {
-        if (n_groups >= cap_groups) return -1;
         const int32_t row = static_cast<int32_t>(n_groups - row_base);
         lm.accept_row[lm.find(keys[best_i])] = row;
         if (best_i + 1 < gj && keys[best_i + 1] == keys[best_i] + 1)
           lm.accept_row[lm.find(keys[best_i + 1])] = row;
-        out_rid[n_groups] = static_cast<int32_t>(r);
-        out_strand[n_groups] = static_cast<int32_t>((grp & 1));
-        out_tid[n_groups] = static_cast<int64_t>(grp >> 1);
+        out.rid.push_back(static_cast<int32_t>(r));
+        out.strand.push_back(static_cast<int32_t>(grp & 1));
+        out.tid.push_back(static_cast<int64_t>(grp >> 1));
         n_groups++;
       }
       gi = gj;
@@ -447,23 +445,86 @@ int64_t map_block_hits(
       if (row_last_emit_q[row] != INT32_MIN &&
           hr.q - row_last_emit_q[row] < sub_gap)
         continue;
-      if (n_hits >= cap_hits) return -1;
-      out_row[n_hits] = static_cast<int32_t>(row_base + row);
-      out_q[n_hits] = hr.q;
-      out_t[n_hits] = hr.t;
-      n_hits++;
+      out.row.push_back(static_cast<int32_t>(row_base + row));
+      out.q.push_back(hr.q);
+      out.t.push_back(hr.t);
       row_last_emit_q[row] = hr.q;
     }
     for (int64_t row = 0; row < rows_here; row++) {
       if (row_last_seen_q[row] != INT32_MIN &&
           row_last_seen_q[row] != row_last_emit_q[row]) {
-        if (n_hits >= cap_hits) return -1;
-        out_row[n_hits] = static_cast<int32_t>(row_base + row);
-        out_q[n_hits] = row_last_seen_q[row];
-        out_t[n_hits] = row_last_seen_t[row];
-        n_hits++;
+        out.row.push_back(static_cast<int32_t>(row_base + row));
+        out.q.push_back(row_last_seen_q[row]);
+        out.t.push_back(row_last_seen_t[row]);
       }
     }
+  }
+}
+
+// Returns n_groups (>= 0) or -1 if an output capacity was exceeded (caller
+// retries with larger buffers).  Query minimizers arrive as 2*n_reads
+// streams (read-major, strand 0 then 1), stream s spanning
+// qh[stream_off[s] : stream_off[s+1]].  Internally parallel over reads:
+// worker threads pull contiguous read chunks from a shared queue (dynamic —
+// half_pairs makes low-rid reads heavier) and results merge in chunk order,
+// so the output is deterministic and read-major regardless of thread count.
+int64_t map_block_hits(
+    const uint64_t* idx_hash, const uint64_t* idx_packed, int64_t n_idx,
+    const uint64_t* qh, const int32_t* qpos,
+    const int64_t* stream_off, int64_t n_reads,
+    int64_t rid_base, int32_t half_pairs,
+    int32_t band_width, int32_t min_hits, int32_t sub_gap,
+    int32_t* out_row, int32_t* out_q, int32_t* out_t, int64_t cap_hits,
+    int32_t* out_rid, int32_t* out_strand, int64_t* out_tid,
+    int64_t cap_groups, int64_t* n_hits_out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(hw ? (hw > 8 ? 8 : hw) : 1);
+  if (n_reads < 64) n_threads = 1;
+  const int64_t n_chunks =
+      n_threads == 1 ? 1 : std::min<int64_t>(n_reads, 4 * n_threads);
+  const int64_t chunk = (n_reads + n_chunks - 1) / n_chunks;
+  std::vector<ChainOut> parts(static_cast<size_t>(n_chunks));
+  std::atomic<int64_t> next{0};
+
+  auto work = [&]() {
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      if (c >= n_chunks) break;
+      const int64_t r0 = c * chunk;
+      const int64_t r1 = std::min(n_reads, r0 + chunk);
+      chain_read_range(idx_hash, idx_packed, n_idx, qh, qpos, stream_off,
+                       r0, r1, rid_base, half_pairs, band_width, min_hits,
+                       sub_gap, parts[static_cast<size_t>(c)]);
+    }
+  };
+  if (n_threads == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t n_groups = 0, n_hits = 0;
+  for (const ChainOut& p : parts) {
+    n_groups += static_cast<int64_t>(p.rid.size());
+    n_hits += static_cast<int64_t>(p.row.size());
+  }
+  if (n_groups > cap_groups || n_hits > cap_hits) return -1;
+  int64_t go = 0, ho = 0;
+  for (const ChainOut& p : parts) {
+    const int64_t pg = static_cast<int64_t>(p.rid.size());
+    const int64_t ph = static_cast<int64_t>(p.row.size());
+    std::memcpy(out_rid + go, p.rid.data(), pg * sizeof(int32_t));
+    std::memcpy(out_strand + go, p.strand.data(), pg * sizeof(int32_t));
+    std::memcpy(out_tid + go, p.tid.data(), pg * sizeof(int64_t));
+    std::memcpy(out_q + ho, p.q.data(), ph * sizeof(int32_t));
+    std::memcpy(out_t + ho, p.t.data(), ph * sizeof(int32_t));
+    // row ids are chunk-local; shift by the groups emitted before this chunk
+    for (int64_t i = 0; i < ph; i++)
+      out_row[ho + i] = static_cast<int32_t>(p.row[static_cast<size_t>(i)] + go);
+    go += pg;
+    ho += ph;
   }
   *n_hits_out = n_hits;
   return n_groups;

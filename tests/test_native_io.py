@@ -86,3 +86,38 @@ def test_native_minimizers_match_numpy(lib):
             want = (keep, h[keep])
         np.testing.assert_array_equal(got[0], want[0])
         np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_native_chaining_matches_numpy_join(lib, small_sim):
+    """map_block_hits (C) and the numpy join must find the same overlap
+    pairs with matching spans (traces may differ: the native path
+    subsamples anchors to >=32bp)."""
+    import hinge_tpu.native as hn
+    from hinge_tpu.overlap import mapper
+
+    rs = small_sim["read_store"]
+    ov_nat = mapper.overlap_reads(rs)
+    real_get = hn.get_lib
+    hn.get_lib = lambda: None
+    try:
+        ov_np = mapper.overlap_reads(rs)
+    finally:
+        hn.get_lib = real_get
+
+    def pairs(o):
+        return set(zip(np.minimum(o.a_id, o.b_id).tolist(),
+                       np.maximum(o.a_id, o.b_id).tolist(),
+                       o.rc.tolist()))
+
+    assert pairs(ov_nat) == pairs(ov_np)
+    assert ov_nat.n == ov_np.n
+    # spans agree within the anchor-subsampling slack
+    key = ["a_id", "b_id", "rc", "a_start"]
+    o1 = ov_nat.take(np.lexsort(tuple(getattr(ov_nat, f) for f in key)))
+    o2 = ov_np.take(np.lexsort(tuple(getattr(ov_np, f) for f in key)))
+    np.testing.assert_array_equal(o1.a_id, o2.a_id)
+    np.testing.assert_array_equal(o1.b_id, o2.b_id)
+    np.testing.assert_array_equal(o1.a_start, o2.a_start)
+    np.testing.assert_array_equal(o1.a_end, o2.a_end)
+    np.testing.assert_array_equal(o1.b_start, o2.b_start)
+    np.testing.assert_array_equal(o1.b_end, o2.b_end)
