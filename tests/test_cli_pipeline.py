@@ -126,3 +126,20 @@ def test_fasta_only_assembly(dataset, tmp_path):
     assert len(res["contigs"]) >= 2
     name, seq = max(res["contigs"], key=lambda c: len(c[1]))
     assert len(seq) > 0.7 * len(dataset["genome"])
+
+
+def test_cli_clip_nanopore(dataset):
+    """clip-nanopore: the nanopore pruning profile (bubble 20 + dead-end 20,
+    pruning_and_clipping_nanopore.py:1466-1467) through the CLI."""
+    tmp = str(dataset["tmp"])
+    # reuse the stage outputs from test_cli_stage_by_stage (module fixture
+    # ordering guarantees X.edges.hinges exists after that test ran)
+    import os
+    if not os.path.exists(os.path.join(tmp, "X.edges.hinges")):
+        fasta, las = dataset["fasta"], dataset["las"]
+        _run_cli(["filter", "--fasta", fasta, "--las", las, "--prefix", "X"], tmp)
+        _run_cli(["maximal", "--fasta", fasta, "--las", las, "--prefix", "X"], tmp)
+        _run_cli(["layout", "--fasta", fasta, "--las", las, "--prefix", "X",
+                  "--out", "X"], tmp)
+    _run_cli(["clip-nanopore", "X.edges.hinges", "X.hinge.list", "np"], tmp)
+    assert os.path.exists(os.path.join(tmp, "Xnp.G2.graphml"))

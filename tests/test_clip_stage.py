@@ -166,3 +166,52 @@ def test_clip_end_to_end(tmp_path):
     assert os.path.exists(str(tmp_path / "eco1.G2.graphml"))
     g2_loaded = nx.read_graphml(str(tmp_path / "eco1.G2.graphml"))
     assert len(g2_loaded) == len(G2)
+
+
+def test_clip_aggressive_chimera_e2e(tmp_path):
+    """Aggressive profile end-to-end: a read flagged chimeric via .cov.flag
+    loses its Y-fork edge in G3 (y_pruning, pruning_and_clipping.py:841-888,
+    1518-1532), and G3.graphml is written."""
+    from hinge_tpu.data.simulator import SimParams, simulate
+    from hinge_tpu.stages.clip import run_clip
+    from hinge_tpu.stages.filter import run_filter
+    from hinge_tpu.stages.layout import load_marked, run_layout
+    from hinge_tpu.stages.maximal import run_maximal
+
+    p = SimParams(genome_len=50_000, coverage=18.0, mean_read_len=5000,
+                  std_read_len=1000, seed=21)
+    genome, reads, rs, ov = simulate(p)
+    cfg = nominal_config()
+    cfg.layout.aggressive_pruning = True
+    prefix = str(tmp_path / "agg")
+    fres = run_filter(rs, [ov], cfg, out_prefix=prefix)
+    eff_s = fres.maskvec[:, 0].astype(np.int32)
+    eff_e = fres.maskvec[:, 1].astype(np.int32)
+    mres = run_maximal(rs, [ov], cfg, eff_s, eff_e, out_prefix=prefix)
+    run_layout(
+        rs, [ov], cfg, eff_s, eff_e, mres.active,
+        load_marked(prefix + ".repeat.txt"), load_marked(prefix + ".hinges.txt"),
+        out_prefix=prefix, filter_prefix=prefix,
+    )
+    # inject a chimera flag: pick a mid-path G2 node so the fork logic has a
+    # long clean flank upstream
+    out0 = run_clip(prefix + ".edges.hinges", prefix + ".hinge.list", "1",
+                    cfg, write_viz=False)
+    G2 = out0["G2"]
+    victim = None
+    for node in G2.nodes():
+        if G2.in_degree(node) == 1 and G2.out_degree(node) == 1:
+            victim = node.split("_")[0]
+            break
+    assert victim is not None
+    with open(prefix + ".cov.flag", "w") as f:
+        f.write(victim + "\n")
+    out = run_clip(prefix + ".edges.hinges", prefix + ".hinge.list", "1",
+                   cfg, write_viz=False)
+    assert "G3" in out
+    import os
+    assert os.path.exists(prefix + "1.G3.graphml")
+    # the flagged node carries CFLAG in the pruned graph
+    G3 = out["G3"]
+    flagged = [n for n in G3.nodes() if G3.nodes[n].get("CFLAG", False)]
+    assert (victim + "_0" in flagged) or (victim + "_0" not in G3)
