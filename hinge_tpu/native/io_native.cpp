@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <atomic>
 #include <climits>
+#include <cmath>
 #include <thread>
 #include <cstdint>
 #include <cstdio>
@@ -259,6 +260,177 @@ int64_t minimizers(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     }
   }
   return cnt;
+}
+
+// Core shared by `minimizers` and `minimizers_batch`: int32 positions,
+// caller-provided scratch so batch calls do not re-allocate per sequence.
+static int64_t mini_core(const uint8_t* codes, int64_t n, int32_t k,
+                         int32_t w, int32_t* out_pos, uint64_t* out_hash,
+                         std::vector<uint64_t>& h, std::vector<int64_t>& dq) {
+  if (n < k) return 0;
+  const int64_t m = n - k + 1;
+  if (static_cast<int64_t>(h.size()) < m) {
+    h.resize(static_cast<size_t>(m));
+    dq.resize(static_cast<size_t>(m));
+  }
+  uint64_t v = 0;
+  for (int64_t i = 0; i < k; i++) v = (v << 2) | (codes[i] & 3);
+  h[0] = mix64(v);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  for (int64_t i = 1; i < m; i++) {
+    v = ((v << 2) | (codes[i + k - 1] & 3)) & mask;
+    h[static_cast<size_t>(i)] = mix64(v);
+  }
+  int64_t cnt = 0;
+  if (m <= w) {
+    int64_t p = 0;
+    for (int64_t i = 1; i < m; i++)
+      if (h[static_cast<size_t>(i)] < h[static_cast<size_t>(p)]) p = i;
+    out_pos[0] = static_cast<int32_t>(p);
+    out_hash[0] = h[static_cast<size_t>(p)];
+    return 1;
+  }
+  int64_t head = 0, tail = 0;
+  int64_t last_emit = -1;
+  for (int64_t i = 0; i < m; i++) {
+    while (tail > head && h[static_cast<size_t>(dq[tail - 1])] > h[static_cast<size_t>(i)]) tail--;
+    dq[static_cast<size_t>(tail++)] = i;
+    if (dq[static_cast<size_t>(head)] <= i - w) head++;
+    if (i >= w - 1) {
+      int64_t p = dq[static_cast<size_t>(head)];
+      if (p != last_emit) {
+        out_pos[cnt] = static_cast<int32_t>(p);
+        out_hash[cnt] = h[static_cast<size_t>(p)];
+        cnt++;
+        last_emit = p;
+      }
+    }
+  }
+  return cnt;
+}
+
+// Batched minimizer extraction, threaded over sequences.  Streams are
+// written at caller-computed worst-case offsets `cap_off` (n_streams+1;
+// stream i capacity = max(len_i - k + 1, 0)), then compacted to be
+// contiguous; per-stream counts land in out_cnt.  both_strands=1 emits
+// 2 streams per sequence (forward, then reverse complement — matching
+// mapper._map_block's query stream layout).  Returns total minimizers.
+int64_t minimizers_batch(const uint8_t* codes, const int64_t* seq_off,
+                         int64_t n_seq, int32_t k, int32_t w,
+                         int32_t both_strands, const int64_t* cap_off,
+                         int32_t* out_pos, uint64_t* out_hash,
+                         int64_t* out_cnt) {
+  const int strands = both_strands ? 2 : 1;
+  const int64_t n_streams = n_seq * strands;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(hw ? (hw > 8 ? 8 : hw) : 1);
+  if (n_seq < 64) n_threads = 1;
+  std::atomic<int64_t> next{0};
+  const int64_t chunk = 64;
+
+  auto work = [&]() {
+    std::vector<uint64_t> h;
+    std::vector<int64_t> dq;
+    std::vector<uint8_t> rcbuf;
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      const int64_t s0 = c * chunk;
+      if (s0 >= n_seq) break;
+      const int64_t s1 = std::min(n_seq, s0 + chunk);
+      for (int64_t s = s0; s < s1; s++) {
+        const uint8_t* seq = codes + seq_off[s];
+        const int64_t n = seq_off[s + 1] - seq_off[s];
+        out_cnt[s * strands] = mini_core(
+            seq, n, k, w, out_pos + cap_off[s * strands],
+            out_hash + cap_off[s * strands], h, dq);
+        if (both_strands) {
+          if (static_cast<int64_t>(rcbuf.size()) < n)
+            rcbuf.resize(static_cast<size_t>(n));
+          for (int64_t i = 0; i < n; i++)
+            rcbuf[static_cast<size_t>(i)] =
+                static_cast<uint8_t>(3 - (seq[n - 1 - i] & 3));
+          out_cnt[s * strands + 1] = mini_core(
+              rcbuf.data(), n, k, w, out_pos + cap_off[s * strands + 1],
+              out_hash + cap_off[s * strands + 1], h, dq);
+        }
+      }
+    }
+  };
+  if (n_threads == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  // compact forward (write offsets only ever shrink)
+  int64_t wpos = 0;
+  for (int64_t s = 0; s < n_streams; s++) {
+    const int64_t cnt = out_cnt[s];
+    const int64_t src = cap_off[s];
+    if (src != wpos && cnt > 0) {
+      std::memmove(out_pos + wpos, out_pos + src, cnt * sizeof(int32_t));
+      std::memmove(out_hash + wpos, out_hash + src, cnt * sizeof(uint64_t));
+    }
+    wpos += cnt;
+  }
+  return wpos;
+}
+
+// Stable LSD radix sort of (hash, packed) by hash (4 passes of 16 bits) +
+// repetitive-bucket filter (runs of equal hash longer than max_bucket are
+// dropped).  Matches mapper.build_index's stable argsort + run-length
+// filter bit-for-bit.  Returns the filtered count, or -1 on alloc failure.
+int64_t index_sort_filter(uint64_t* hash, uint64_t* packed, int64_t n,
+                          int64_t max_bucket) {
+  if (n <= 0) return 0;
+  std::vector<uint64_t> h2, p2;
+  try {
+    h2.resize(static_cast<size_t>(n));
+    p2.resize(static_cast<size_t>(n));
+  } catch (...) {
+    return -1;
+  }
+  uint64_t* hs = hash;
+  uint64_t* ps = packed;
+  uint64_t* hd = h2.data();
+  uint64_t* pd = p2.data();
+  std::vector<int64_t> count(1 << 16);
+  for (int pass = 0; pass < 4; pass++) {
+    const int shift = 16 * pass;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; i++) count[(hs[i] >> shift) & 0xFFFF]++;
+    int64_t acc = 0;
+    for (int64_t b = 0; b < (1 << 16); b++) {
+      const int64_t c = count[static_cast<size_t>(b)];
+      count[static_cast<size_t>(b)] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < n; i++) {
+      const int64_t d = count[(hs[i] >> shift) & 0xFFFF]++;
+      hd[d] = hs[i];
+      pd[d] = ps[i];
+    }
+    std::swap(hs, hd);
+    std::swap(ps, pd);
+  }
+  // 4 swaps: data is back in (hash, packed)
+  int64_t wpos = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i;
+    while (j < n && hash[j] == hash[i]) j++;
+    if (j - i <= max_bucket) {
+      if (wpos != i)
+        for (int64_t x = i; x < j; x++) {
+          hash[wpos + (x - i)] = hash[x];
+          packed[wpos + (x - i)] = packed[x];
+        }
+      wpos += j - i;
+    }
+    i = j;
+  }
+  return wpos;
 }
 
 // ---- minimizer hit join + diagonal-band chaining (mapper._map_block) ----
@@ -528,6 +700,163 @@ int64_t map_block_hits(
   }
   *n_hits_out = n_hits;
   return n_groups;
+}
+
+// ---- record emission (mapper._emit_records) ----
+// Stable (row, q) sort, per-group monotone-t filter, span check, and
+// tspace-grid trace-point interpolation.  Bit-identical to the numpy tail
+// (same float64 expression order; round half-to-even via nearbyint).
+// Traces are written contiguously for accepted groups in group order;
+// returns 0, or -1 if trace_cap is too small (*trace_total = needed).
+int64_t emit_records(const int32_t* row, const int32_t* q, const int32_t* t,
+                     int64_t n_hits, int64_t n_groups, int32_t k,
+                     int32_t min_span, int32_t min_cnt, int32_t tspace,
+                     uint8_t* ok, int64_t* q0o, int64_t* q1o, int64_t* t0o,
+                     int64_t* t1o, int64_t* nbo, uint16_t* trace,
+                     int64_t trace_cap, int64_t* trace_total) {
+  struct QT {
+    int32_t q, t;
+  };
+  std::vector<int64_t> off(static_cast<size_t>(n_groups) + 1, 0);
+  for (int64_t i = 0; i < n_hits; i++) off[static_cast<size_t>(row[i]) + 1]++;
+  for (int64_t g = 0; g < n_groups; g++)
+    off[static_cast<size_t>(g) + 1] += off[static_cast<size_t>(g)];
+  std::vector<QT> hits(static_cast<size_t>(n_hits));
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t i = 0; i < n_hits; i++) {
+      const int64_t d = cur[static_cast<size_t>(row[i])]++;
+      hits[static_cast<size_t>(d)] = {q[i], t[i]};
+    }
+  }
+  std::vector<int64_t> m(static_cast<size_t>(n_groups), 0);
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(hw ? (hw > 8 ? 8 : hw) : 1);
+  if (n_groups < 256) n_threads = 1;
+  const int64_t chunk = 256;
+  std::atomic<int64_t> next{0};
+  auto phase_a = [&]() {
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      const int64_t g0 = c * chunk;
+      if (g0 >= n_groups) break;
+      const int64_t g1 = std::min(n_groups, g0 + chunk);
+      for (int64_t g = g0; g < g1; g++) {
+        QT* a = hits.data() + off[static_cast<size_t>(g)];
+        const int64_t n = off[static_cast<size_t>(g) + 1] - off[static_cast<size_t>(g)];
+        if (n == 0) {
+          ok[g] = 0;
+          nbo[g] = 0;
+          continue;
+        }
+        std::stable_sort(a, a + n,
+                         [](const QT& x, const QT& y) { return x.q < y.q; });
+        // monotone-t filter (cummax == t keeps first of each plateau)
+        int64_t w_ = 0;
+        int32_t tmax = INT32_MIN;
+        for (int64_t i = 0; i < n; i++) {
+          if (a[i].t >= tmax) {
+            tmax = a[i].t;
+            a[w_++] = a[i];
+          }
+        }
+        m[static_cast<size_t>(g)] = w_;
+        const int64_t Q0 = a[0].q, Q1 = a[w_ - 1].q + k;
+        const int64_t T0 = a[0].t, T1 = a[w_ - 1].t + k;
+        q0o[g] = Q0;
+        q1o[g] = Q1;
+        t0o[g] = T0;
+        t1o[g] = T1;
+        const bool good = w_ >= min_cnt && (Q1 - Q0) >= min_span &&
+                          (T1 - T0) >= min_span;
+        ok[g] = good ? 1 : 0;
+        const int64_t n_int =
+            good ? std::max<int64_t>((T1 - 1) / tspace - T0 / tspace, 0) : 0;
+        nbo[g] = good ? n_int + 2 : 0;
+      }
+    }
+  };
+  auto run_pool = [&](auto fn) {
+    next.store(0);
+    if (n_threads == 1) {
+      fn();
+    } else {
+      std::vector<std::thread> pool;
+      for (int i = 0; i < n_threads; i++) pool.emplace_back(fn);
+      for (auto& th : pool) th.join();
+    }
+  };
+  run_pool(phase_a);
+
+  // trace offsets (accepted groups, contiguous, group order)
+  std::vector<int64_t> toff(static_cast<size_t>(n_groups) + 1, 0);
+  for (int64_t g = 0; g < n_groups; g++)
+    toff[static_cast<size_t>(g) + 1] =
+        toff[static_cast<size_t>(g)] + (ok[g] ? 2 * (nbo[g] - 1) : 0);
+  *trace_total = toff[static_cast<size_t>(n_groups)];
+  if (*trace_total > trace_cap) return -1;
+
+  auto phase_b = [&]() {
+    std::vector<int64_t> bar;
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      const int64_t g0 = c * chunk;
+      if (g0 >= n_groups) break;
+      const int64_t g1 = std::min(n_groups, g0 + chunk);
+      for (int64_t g = g0; g < g1; g++) {
+        if (!ok[g]) continue;
+        const QT* a = hits.data() + off[static_cast<size_t>(g)];
+        const int64_t n = m[static_cast<size_t>(g)];
+        const int64_t nbg = nbo[g];
+        const int64_t T0 = t0o[g], T1 = t1o[g];
+        const int64_t Q0 = q0o[g], Q1 = q1o[g];
+        if (static_cast<int64_t>(bar.size()) < nbg) bar.resize(static_cast<size_t>(nbg));
+        int64_t jh = 0;
+        for (int64_t j = 0; j < nbg; j++) {
+          const int64_t b = (j == 0) ? T0
+                            : (j == nbg - 1)
+                                ? T1
+                                : (T0 / tspace + j) * tspace;
+          while (jh + 1 < n && a[jh + 1].t <= b) jh++;
+          double ba;
+          if (j == 0) {
+            ba = static_cast<double>(Q0);
+          } else if (j == nbg - 1) {
+            ba = static_cast<double>(Q1);
+          } else {
+            const bool has_next = jh < n - 1;
+            const int64_t denom =
+                has_next ? std::max<int64_t>(a[jh + 1].t - a[jh].t, 1) : 1;
+            const double frac =
+                has_next ? static_cast<double>(b - a[jh].t) /
+                               static_cast<double>(denom)
+                         : 0.0;
+            const double dy =
+                has_next ? static_cast<double>(a[jh + 1].q - a[jh].q) : 0.0;
+            ba = static_cast<double>(a[jh].q) + frac * dy;
+          }
+          bar[static_cast<size_t>(j)] =
+              static_cast<int64_t>(std::nearbyint(ba));
+        }
+        uint16_t* tr = trace + toff[static_cast<size_t>(g)];
+        int64_t dsum = 0;
+        for (int64_t j = 0; j < nbg - 1; j++) {
+          int64_t d = bar[static_cast<size_t>(j + 1)] - bar[static_cast<size_t>(j)];
+          d = std::min<int64_t>(std::max<int64_t>(d, 0), 65534);
+          tr[2 * j] = 0;
+          tr[2 * j + 1] = static_cast<uint16_t>(d);
+          dsum += d;
+        }
+        const int64_t delta = (Q1 - Q0) - dsum;
+        const int64_t newlast = tr[2 * (nbg - 2) + 1] + delta;
+        if (newlast >= 0 && newlast < 65535)
+          tr[2 * (nbg - 2) + 1] = static_cast<uint16_t>(newlast);
+      }
+    }
+  };
+  run_pool(phase_b);
+  return 0;
 }
 
 }  // extern "C"

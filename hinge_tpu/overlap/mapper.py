@@ -88,6 +88,71 @@ def _native_minimizers(codes: np.ndarray, k: int, w: int):
     return pos[:cnt], hsh[:cnt]
 
 
+class _BufferPool:
+    """Grow-only scratch buffers for the native calls.
+
+    First-touch page faults are extremely expensive in sandboxed/virtualized
+    environments (measured ~10-30us/page here when faulting from multiple
+    threads), so allocating hundreds of MB of fresh output buffers per call
+    dominated the overlapper. Reusing one named buffer per call site pays the
+    fault cost once per process. Returned views are only valid until the
+    same name is requested again — callers copy anything that escapes."""
+
+    def __init__(self):
+        self._bufs = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.dtype != np.dtype(dtype) or len(buf) < size:
+            buf = np.empty(int(size * 5 // 4) + 16, dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:size]
+
+
+_POOL = _BufferPool()
+
+
+def _minimizers_batch(codes: np.ndarray, offsets: np.ndarray, k: int, w: int,
+                      both_strands: bool):
+    """Native batched minimizers over concatenated sequences. Returns
+    (pos int32, hash uint64, counts int64 per stream) or None. Streams are
+    per sequence (forward[, reverse-complement]) in sequence order,
+    bit-identical to per-sequence `minimizers` calls."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "minimizers_batch"):
+        return None
+    n_seq = len(offsets) - 1
+    lens = np.diff(offsets)
+    caps = np.maximum(lens - k + 1, 0).astype(np.int64)
+    if both_strands:
+        caps = np.repeat(caps, 2)
+    cap_off = np.zeros(len(caps) + 1, dtype=np.int64)
+    np.cumsum(caps, out=cap_off[1:])
+    tot_cap = int(cap_off[-1])
+    out_pos = _POOL.get("mini_pos", tot_cap, np.int32)
+    out_hash = _POOL.get("mini_hash", tot_cap, np.uint64)
+    out_cnt = _POOL.get("mini_cnt", len(caps), np.int64)
+    out_cnt[:] = 0
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    c = ctypes
+    tot = lib.minimizers_batch(
+        codes.ctypes.data_as(c.POINTER(c.c_uint8)),
+        offsets.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.c_int64(n_seq), c.c_int32(k), c.c_int32(w),
+        c.c_int32(1 if both_strands else 0),
+        cap_off.ctypes.data_as(c.POINTER(c.c_int64)),
+        out_pos.ctypes.data_as(c.POINTER(c.c_int32)),
+        out_hash.ctypes.data_as(c.POINTER(c.c_uint64)),
+        out_cnt.ctypes.data_as(c.POINTER(c.c_int64)),
+    )
+    return out_pos[:tot], out_hash[:tot], out_cnt
+
+
 @dataclasses.dataclass
 class MapperIndex:
     k: int
@@ -99,6 +164,9 @@ class MapperIndex:
 
 def build_index(targets: List[np.ndarray], k: int = 15, w: int = 10,
                 max_bucket: int = 64) -> MapperIndex:
+    nat = _native_build_index(targets, k, w, max_bucket)
+    if nat is not None:
+        return nat
     hs, ps = [], []
     for tid, t in enumerate(targets):
         pos, h = minimizers(t, k, w)
@@ -109,14 +177,56 @@ def build_index(targets: List[np.ndarray], k: int = 15, w: int = 10,
     order = np.argsort(allh, kind="stable")
     allh, allp = allh[order], allp[order]
     if len(allh):
-        # drop repetitive buckets
-        uniq, inv, counts = np.unique(allh, return_inverse=True, return_counts=True)
-        keep = counts[inv] <= max_bucket
+        # drop repetitive buckets: run-lengths on the (already sorted) hash
+        # array — equivalent to np.unique(return_counts) without its re-sort
+        new = np.empty(len(allh), dtype=bool)
+        new[0] = True
+        np.not_equal(allh[1:], allh[:-1], out=new[1:])
+        starts = np.nonzero(new)[0]
+        cnts = np.diff(np.append(starts, len(allh)))
+        keep = cnts[np.cumsum(new) - 1] <= max_bucket
         allh, allp = allh[keep], allp[keep]
     return MapperIndex(
         k=k, w=w, hashes=allh, packed=allp,
         t_len=np.array([len(t) for t in targets], dtype=np.int64),
     )
+
+
+def _native_build_index(targets: List[np.ndarray], k: int, w: int,
+                        max_bucket: int) -> Optional[MapperIndex]:
+    """Fully native index build: batched minimizers + stable LSD radix sort
+    + repetitive-bucket filter. Bit-identical to the numpy path."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "index_sort_filter") or not targets:
+        return None
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    offsets = np.zeros(len(targets) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.concatenate(targets) if len(targets) > 1 else np.asarray(targets[0])
+    got = _minimizers_batch(flat, offsets, k, w, both_strands=False)
+    if got is None:
+        return None
+    pos, hashes, counts = got
+    tids = np.repeat(np.arange(len(targets), dtype=np.uint64), counts)
+    packed = (tids << np.uint64(40)) | pos.astype(np.uint64)
+    # copy: `hashes` is a pooled scratch view that the per-block query
+    # minimizer calls will overwrite, but the index must outlive them
+    hashes = hashes.copy()
+    packed = np.ascontiguousarray(packed)
+    c = ctypes
+    n2 = lib.index_sort_filter(
+        hashes.ctypes.data_as(c.POINTER(c.c_uint64)),
+        packed.ctypes.data_as(c.POINTER(c.c_uint64)),
+        c.c_int64(len(hashes)), c.c_int64(max_bucket),
+    )
+    if n2 < 0:
+        return None
+    return MapperIndex(k=k, w=w, hashes=hashes[:n2], packed=packed[:n2],
+                       t_len=lens)
 
 
 def map_reads_to_targets(
@@ -186,38 +296,44 @@ def _map_block(
 ) -> OverlapStore:
     n_targets = len(targets)
 
-    # ---- 1. all query minimizers ----
-    q_hash: List[np.ndarray] = []
-    q_pos: List[np.ndarray] = []
-    q_rid: List[np.ndarray] = []
-    q_str: List[np.ndarray] = []
-    read_codes = []
-    for rid in range(rs.n_reads):
-        read = rs.get_bases(rid)
-        read_codes.append(read)
-        for strand in (0, 1):
-            codes = read if strand == 0 else revcomp_codes(read)
-            pos, h = minimizers(codes, k, w)
-            q_hash.append(h)
-            q_pos.append(pos.astype(np.int32))
-            q_rid.append(np.full(len(h), rid, dtype=np.int32))
-            q_str.append(np.full(len(h), strand, dtype=np.int32))
-    if not q_hash:
-        return OverlapStore.from_arrays(tspace=tspace, a_id=np.zeros(0, INT), b_id=np.zeros(0, INT),
-                                        a_len=np.zeros(0, INT), b_len=np.zeros(0, INT),
-                                        a_start=np.zeros(0, INT), a_end=np.zeros(0, INT),
-                                        b_start=np.zeros(0, INT), b_end=np.zeros(0, INT),
-                                        rc=np.zeros(0, INT))
-    qh = np.concatenate(q_hash)
-    qp = np.concatenate(q_pos)
-    qr = np.concatenate(q_rid)
-    qs = np.concatenate(q_str)
+    # ---- 1. all query minimizers (batched native path, per-read fallback) ----
+    got = (
+        _minimizers_batch(rs.bases, rs.bases_off, k, w, both_strands=True)
+        if rs.bases is not None else None
+    )
+    qr = qs = None  # only needed by the numpy join fallback; built lazily
+    if got is not None:
+        qp, qh, counts = got
+        stream_lens = counts.tolist()
+    else:
+        q_hash: List[np.ndarray] = []
+        q_pos: List[np.ndarray] = []
+        q_rid: List[np.ndarray] = []
+        q_str: List[np.ndarray] = []
+        for rid in range(rs.n_reads):
+            read = rs.get_bases(rid)
+            for strand in (0, 1):
+                codes = read if strand == 0 else revcomp_codes(read)
+                pos, h = minimizers(codes, k, w)
+                q_hash.append(h)
+                q_pos.append(pos.astype(np.int32))
+                q_rid.append(np.full(len(h), rid, dtype=np.int32))
+                q_str.append(np.full(len(h), strand, dtype=np.int32))
+        if not q_hash:
+            return _empty(tspace)
+        stream_lens = [len(h) for h in q_hash]
+        qh = np.concatenate(q_hash)
+        qp = np.concatenate(q_pos)
+        qr = np.concatenate(q_rid)
+        qs = np.concatenate(q_str)
+    if len(qh) == 0:
+        return _empty(tspace)
 
     # native C join+chaining core: per-read local hash histogram, no global
     # hit table (orders of magnitude less memory traffic than the numpy
     # join below); falls back to numpy when the toolchain is unavailable
     native = _native_map_block(
-        index, qh, qp, [len(h) for h in q_hash], rid_base, half_pairs,
+        index, qh, qp, stream_lens, rid_base, half_pairs,
         band_width, min_hits,
     )
     if native is not None:
@@ -225,11 +341,19 @@ def _map_block(
         if len(g_rid) == 0:
             return _empty(tspace)
         # min_hits was already enforced on the full (pre-subsample) band
-        # counts inside the native pass; only degenerate rows drop here
+        # counts inside the native pass; only degenerate rows drop here.
+        # Hit columns stay int32 (the native emit path consumes them as-is).
         return _emit_records(
-            hit_row.astype(np.int64), hit_q.astype(np.int64),
-            hit_t.astype(np.int64), g_rid, g_strand, g_tid,
+            hit_row, hit_q, hit_t, g_rid, g_strand, g_tid,
             rs, index, k, min_span, 2, tspace, rid_base,
+        )
+    if qr is None:
+        counts = np.asarray(stream_lens, dtype=np.int64)
+        qr = np.repeat(
+            np.arange(rs.n_reads, dtype=np.int32), counts[0::2] + counts[1::2]
+        )
+        qs = np.repeat(
+            np.tile(np.array([0, 1], dtype=np.int32), rs.n_reads), counts
         )
 
     # ---- 2. join against the sorted index ----
@@ -354,12 +478,12 @@ def _native_map_block(index: MapperIndex, qh, qp, stream_lens,
     cap_hits = max(1 << 20, 2 * len(qh))
     cap_groups = 1 << 18
     while True:
-        out_row = np.empty(cap_hits, dtype=np.int32)
-        out_q = np.empty(cap_hits, dtype=np.int32)
-        out_t = np.empty(cap_hits, dtype=np.int32)
-        out_rid = np.empty(cap_groups, dtype=np.int32)
-        out_strand = np.empty(cap_groups, dtype=np.int32)
-        out_tid = np.empty(cap_groups, dtype=np.int64)
+        out_row = _POOL.get("mb_row", cap_hits, np.int32)
+        out_q = _POOL.get("mb_q", cap_hits, np.int32)
+        out_t = _POOL.get("mb_t", cap_hits, np.int32)
+        out_rid = _POOL.get("mb_rid", cap_groups, np.int32)
+        out_strand = _POOL.get("mb_strand", cap_groups, np.int32)
+        out_tid = _POOL.get("mb_tid", cap_groups, np.int64)
         n_hits = c.c_int64(0)
         ng = lib.map_block_hits(
             hashes.ctypes.data_as(c.POINTER(c.c_uint64)),
@@ -399,6 +523,30 @@ def _emit_records(row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
     G = len(g_rid)
     if G == 0 or len(row_of) == 0:
         return _empty(tspace)
+    nat = _native_emit_records(row_of, tq, tt, G, k, min_span, min_cnt, tspace)
+    if nat is not None:
+        ok, nq0, nq1, nt0, nt1, nnb, ntrace = nat
+        acc = np.nonzero(ok)[0]
+        if len(acc) == 0:
+            return _empty(tspace)
+        rid, strand, tid = g_rid[acc], g_strand[acc], g_tid[acc]
+        blen = rs.length[rid].astype(np.int64)
+        alen = index.t_len[tid].astype(np.int64)
+        b_start = np.where(strand == 0, nq0[acc], blen - nq1[acc])
+        b_end = np.where(strand == 0, nq1[acc], blen - nq0[acc])
+        return OverlapStore.from_arrays(
+            tspace=tspace, trace=ntrace,
+            a_id=tid, b_id=rid + rid_base,
+            a_len=alen, b_len=blen,
+            a_start=nt0[acc], a_end=nt1[acc],
+            b_start=b_start, b_end=b_end,
+            rc=strand, diffs=np.zeros(len(acc), dtype=np.int64),
+            tlen=2 * (nnb[acc] - 1),
+        ).sort_by_a()
+    # numpy tail (native emit unavailable); hit columns may arrive int32
+    row_of = np.asarray(row_of, dtype=np.int64)
+    tq = np.asarray(tq, dtype=np.int64)
+    tt = np.asarray(tt, dtype=np.int64)
     # sort hits by (group row, qpos) — single int64 key
     o2 = np.argsort((row_of << np.int64(31)) | tq, kind="stable")
     row_s, tq_s, tt_s = row_of[o2], tq[o2], tt[o2]
@@ -486,6 +634,54 @@ def _emit_records(row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
     ).sort_by_a()
 
 
+def _native_emit_records(row_of, tq, tt, G, k, min_span, min_cnt, tspace):
+    """Native emit core: (row,q)-stable sort + monotone filter + spans +
+    trace interpolation. Returns (ok, q0, q1, t0, t1, nb, trace) or None."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "emit_records"):
+        return None
+    n = len(row_of)
+    row32 = np.ascontiguousarray(row_of, dtype=np.int32)
+    q32 = np.ascontiguousarray(tq, dtype=np.int32)
+    t32 = np.ascontiguousarray(tt, dtype=np.int32)
+    ok = np.zeros(G, dtype=np.uint8)
+    q0 = np.zeros(G, dtype=np.int64)
+    q1 = np.zeros(G, dtype=np.int64)
+    t0 = np.zeros(G, dtype=np.int64)
+    t1 = np.zeros(G, dtype=np.int64)
+    nb = np.zeros(G, dtype=np.int64)
+    c = ctypes
+    cap = max(1 << 16, 4 * n)
+    for _ in range(2):
+        trace = _POOL.get("emit_trace", cap, np.uint16)
+        total = c.c_int64(0)
+        r = lib.emit_records(
+            row32.ctypes.data_as(c.POINTER(c.c_int32)),
+            q32.ctypes.data_as(c.POINTER(c.c_int32)),
+            t32.ctypes.data_as(c.POINTER(c.c_int32)),
+            c.c_int64(n), c.c_int64(G), c.c_int32(k),
+            c.c_int32(min_span), c.c_int32(min_cnt), c.c_int32(tspace),
+            ok.ctypes.data_as(c.POINTER(c.c_uint8)),
+            q0.ctypes.data_as(c.POINTER(c.c_int64)),
+            q1.ctypes.data_as(c.POINTER(c.c_int64)),
+            t0.ctypes.data_as(c.POINTER(c.c_int64)),
+            t1.ctypes.data_as(c.POINTER(c.c_int64)),
+            nb.ctypes.data_as(c.POINTER(c.c_int64)),
+            trace.ctypes.data_as(c.POINTER(c.c_uint16)),
+            c.c_int64(cap), c.byref(total),
+        )
+        if r == 0:
+            # copy: the pooled buffer is reused by the next call, but the
+            # trace escapes into the returned OverlapStore
+            return ok, q0, q1, t0, t1, nb, trace[: total.value].copy()
+        cap = total.value
+    return None
+
+
 def _empty(tspace):
     z = np.zeros(0, INT)
     return OverlapStore.from_arrays(
@@ -529,92 +725,149 @@ def overlap_reads(
     hi = np.maximum(ov.a_id, ov.b_id)
     span_key = np.minimum(ov.a_start, ov.b_start)  # separate repeat intervals
     order = np.lexsort((ov.a_id, -mlen, span_key // (4 * band_width), lo, hi))
-    seen = set()
-    keep_rows = []
-    for r in order:
-        key = (int(lo[r]), int(hi[r]), int(ov.rc[r]),
-               (int(span_key[r]) // (4 * band_width)))
-        if key in seen:
-            continue
-        seen.add(key)
-        keep_rows.append(int(r))
-    keep_rows.sort()
-    base = ov.take(np.asarray(keep_rows, dtype=np.int64))
+    # first row in `order` per (lo, hi, rc, span-bin) key, fully vectorized
+    pos_in_order = np.empty(ov.n, dtype=np.int64)
+    pos_in_order[order] = np.arange(ov.n, dtype=np.int64)
+    spanbin = span_key // (4 * band_width)
+    ko = np.lexsort((pos_in_order, spanbin, ov.rc, hi, lo))
+    first = np.ones(ov.n, dtype=bool)
+    if ov.n > 1:
+        first[1:] = (
+            (lo[ko][1:] != lo[ko][:-1]) | (hi[ko][1:] != hi[ko][:-1])
+            | (ov.rc[ko][1:] != ov.rc[ko][:-1])
+            | (spanbin[ko][1:] != spanbin[ko][:-1])
+        )
+    keep_rows = np.sort(ko[first])
+    base = ov.take(keep_rows)
 
-    cols = {kk: [] for kk in "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()}
-    trace_chunks: List[np.ndarray] = []
-    for r in range(base.n):
-        rec, tr = _record_cols(base, r)
-        for kk, v in rec.items():
-            cols[kk].append(v)
-        trace_chunks.append(tr)
-        rec, tr = _mirror_record(base, r, tspace)
-        for kk, v in rec.items():
-            cols[kk].append(v)
-        trace_chunks.append(tr)
-    trace = np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, np.uint16)
+    m_cols, m_trace, m_tlen = _mirror_all(base, tspace)
+    n2 = 2 * base.n
+    cols = {}
+    for kk in ("a_id", "b_id", "a_len", "b_len", "a_start", "a_end",
+               "b_start", "b_end", "rc", "diffs"):
+        out = np.empty(n2, dtype=np.int64)
+        out[0::2] = getattr(base, kk)
+        out[1::2] = m_cols[kk]
+        cols[kk] = out
+    tlen = np.empty(n2, dtype=np.int64)
+    tlen[0::2] = base.tlen
+    tlen[1::2] = m_tlen
+    # interleave trace chunks: canonical record r, then its mirror
+    toff = np.zeros(n2 + 1, dtype=np.int64)
+    np.cumsum(tlen, out=toff[1:])
+    trace = np.zeros(int(toff[-1]), dtype=np.uint16)
+    for src, src_off, dst_off in (
+        (base.trace, base.trace_off, toff[0::2]),
+        (m_trace, np.cumsum(m_tlen) - m_tlen, toff[1::2]),
+    ):
+        lens = np.asarray(tlen[0::2] if src is base.trace else m_tlen,
+                          dtype=np.int64)
+        tot = int(lens.sum())
+        if tot == 0:
+            continue
+        rows = np.repeat(np.arange(base.n, dtype=np.int64), lens)
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        trace[np.asarray(dst_off)[rows] + intra] = src[
+            np.asarray(src_off)[rows] + intra]
     return OverlapStore.from_arrays(
-        tspace=tspace, trace=trace,
-        **{kk: np.asarray(v, dtype=np.int64) for kk, v in cols.items()},
+        tspace=tspace, trace=trace, tlen=tlen, **cols,
     ).sort_by_a()
 
 
-def _record_cols(ov: OverlapStore, r: int):
-    tr = ov.trace[ov.trace_off[r] : ov.trace_off[r] + ov.tlen[r]].copy()
-    rec = dict(
-        a_id=int(ov.a_id[r]), b_id=int(ov.b_id[r]),
-        a_len=int(ov.a_len[r]), b_len=int(ov.b_len[r]),
-        a_start=int(ov.a_start[r]), a_end=int(ov.a_end[r]),
-        b_start=int(ov.b_start[r]), b_end=int(ov.b_end[r]),
-        rc=int(ov.rc[r]), diffs=int(ov.diffs[r]), tlen=int(ov.tlen[r]),
+def _mirror_all(base: OverlapStore, tspace: int):
+    """Vectorized (j,i) twins of every record in `base` (mapper output
+    convention: per-record trace displacements at odd positions): B-grid
+    trace points interpolated along each record's (A, W) lattice, with a
+    telescoping correction so displacements sum exactly to the A span.
+    Returns (cols dict, flat trace, per-record tlen)."""
+    n = base.n
+    a0 = base.a_start.astype(np.int64)
+    a1 = base.a_end.astype(np.int64)
+    b0 = base.b_start.astype(np.int64)
+    b1 = base.b_end.astype(np.int64)
+    rc = base.rc.astype(np.int64)
+    cols = dict(
+        a_id=base.b_id.astype(np.int64), b_id=base.a_id.astype(np.int64),
+        a_len=base.b_len.astype(np.int64), b_len=base.a_len.astype(np.int64),
+        a_start=b0, a_end=b1, b_start=a0, b_end=a1,
+        rc=rc, diffs=base.diffs.astype(np.int64),
     )
-    return rec, tr
+    if n == 0:
+        return cols, np.zeros(0, np.uint16), np.zeros(0, np.int64)
 
+    # ---- A/W anchor lattice per record (cf. _lattice) ----
+    nd = base.tlen.astype(np.int64) // 2  # displacement count
+    nbA = nd + 1
+    totA = int(nbA.sum())
+    offA = np.cumsum(nbA) - nbA
+    rowA = np.repeat(np.arange(n, dtype=np.int64), nbA)
+    jA = np.arange(totA, dtype=np.int64) - offA[rowA]
+    # flat displacement values (odd trace positions per record)
+    totD = int(nd.sum())
+    rowD = np.repeat(np.arange(n, dtype=np.int64), nd)
+    jD = np.arange(totD, dtype=np.int64) - (np.cumsum(nd) - nd)[rowD]
+    disp = base.trace[base.trace_off[rowD] + 2 * jD + 1].astype(np.int64)
+    # segmented cumsum of displacements
+    cs = np.cumsum(disp)
+    seg0 = cs[np.cumsum(nd) - nd] - disp[np.cumsum(nd) - nd]
+    cseg = cs - seg0[rowD]  # inclusive cumsum within record
+    sign = np.where(rc == 1, -1, 1)
+    w0 = np.where(rc == 1, b1, b0)
+    wend = np.where(rc == 1, b0, b1)
+    lastA = nbA - 1
+    W = np.empty(totA, dtype=np.int64)
+    A = np.empty(totA, dtype=np.int64)
+    # interior anchor i (1 <= i <= nbA-2): w0 + sign * cumsum(disp)[i-1];
+    # its cumsum entry sits at offD[row] + i - 1
+    offD = np.cumsum(nd) - nd
+    idxD = np.clip(offD[rowA] + jA - 1, 0, max(totD - 1, 0))
+    interiorW = w0[rowA] + sign[rowA] * cseg[idxD]
+    W = np.where(jA == 0, w0[rowA],
+                 np.where(jA == lastA[rowA], wend[rowA], interiorW))
+    A = np.where(jA == 0, a0[rowA],
+                 np.where(jA == lastA[rowA], a1[rowA],
+                          (a0[rowA] // tspace + jA) * tspace))
+    # ascending-W view (reverse segments of rc records)
+    rev = rc[rowA] == 1
+    src = np.where(rev, offA[rowA] + lastA[rowA] - jA, offA[rowA] + jA)
+    Wasc = W[src]
+    Aasc = A[src]
 
-def _lattice(ov: OverlapStore, r: int, tspace: int):
-    """(A_pts, W_pts) lattice coordinates of record r (W = B fwd strand)."""
-    a0, a1 = int(ov.a_start[r]), int(ov.a_end[r])
-    rc = int(ov.rc[r])
-    pairs = ov.trace_pairs(r)
-    interior = np.arange((a0 // tspace + 1) * tspace, a1, tspace, dtype=np.int64)
-    A = np.concatenate([[a0], interior, [a1]])
-    sign = -1 if rc else 1
-    w0 = int(ov.b_end[r]) if rc else int(ov.b_start[r])
-    wend = int(ov.b_start[r]) if rc else int(ov.b_end[r])
-    disp = pairs[:, 1].astype(np.int64)
-    W = np.empty(len(A), dtype=np.int64)
-    W[0] = w0
-    if len(A) > 2:
-        W[1:-1] = w0 + sign * np.cumsum(disp[: len(A) - 2])
-    W[-1] = wend
-    return A, W
+    # ---- B-grid bounds per record ----
+    nbB = np.maximum((b1 - 1) // tspace - b0 // tspace, 0) + 2
+    totB = int(nbB.sum())
+    offB = np.cumsum(nbB) - nbB
+    rowB = np.repeat(np.arange(n, dtype=np.int64), nbB)
+    jB = np.arange(totB, dtype=np.int64) - offB[rowB]
+    lastB = nbB - 1
+    bnd = (b0[rowB] // tspace + jB) * tspace
+    bnd = np.where(jB == 0, b0[rowB],
+                   np.where(jB == lastB[rowB], b1[rowB], bnd))
 
+    # ---- segmented interpolation of bounds on the (Wasc, Aasc) anchors ----
+    LARGE = np.int64(1) << 42
+    jh = np.searchsorted(Wasc + rowA * LARGE, bnd + rowB * LARGE,
+                         side="right") - 1
+    endA = offA + lastA
+    has_next = jh < endA[rowB]
+    jn = np.minimum(jh + 1, endA[rowB])
+    x0, y0 = Wasc[jh], Aasc[jh]
+    denom = np.maximum(Wasc[jn] - x0, 1)
+    frac = np.where(has_next, (bnd - x0) / denom, 0.0)
+    a_at = y0 + frac * (Aasc[jn] - y0)
+    bar = np.round(a_at).astype(np.int64)
 
-def _mirror_record(ov: OverlapStore, r: int, tspace: int):
-    """The exact (j,i) twin of record r: swapped roles, B-grid trace points
-    interpolated along the SAME lattice, so summed lengths agree exactly."""
-    A, W = _lattice(ov, r, tspace)
-    rc = int(ov.rc[r])
-    b0, b1 = int(ov.b_start[r]), int(ov.b_end[r])
-    interior = np.arange((b0 // tspace + 1) * tspace, b1, tspace, dtype=np.int64)
-    Bnds = np.concatenate([[b0], interior, [b1]])
-    if rc == 0:
-        a_at = np.interp(Bnds, W, A)
-    else:
-        a_at = np.interp(Bnds, W[::-1], A[::-1])
-    a_at = np.round(a_at).astype(np.int64)
-    disp = np.abs(np.diff(a_at)).astype(np.int64)
-    # telescoping correction so displacements sum to the A span exactly
-    delta = (int(ov.a_end[r]) - int(ov.a_start[r])) - int(disp.sum())
-    if len(disp):
-        disp[-1] = max(0, disp[-1] + delta)
-    tr = np.zeros(2 * len(disp), dtype=np.uint16)
-    tr[1::2] = np.clip(disp, 0, 65534)
-    rec = dict(
-        a_id=int(ov.b_id[r]), b_id=int(ov.a_id[r]),
-        a_len=int(ov.b_len[r]), b_len=int(ov.a_len[r]),
-        a_start=b0, a_end=b1,
-        b_start=int(ov.a_start[r]), b_end=int(ov.a_end[r]),
-        rc=rc, diffs=int(ov.diffs[r]), tlen=2 * len(disp),
-    )
-    return rec, tr
+    # ---- |diffs| within record, telescoping fold, trace assembly ----
+    dm = np.abs(bar[1:] - bar[:-1])
+    valid = rowB[1:] == rowB[:-1]
+    dsum = np.bincount(rowB[1:][valid], weights=dm[valid].astype(np.float64),
+                       minlength=n).astype(np.int64)
+    delta = (a1 - a0) - dsum
+    last_idx = offB + nbB - 2  # index into dm of each record's last diff
+    dm[last_idx] = np.maximum(0, dm[last_idx] + delta)
+    dmv = np.clip(dm[valid], 0, 65534)
+    trace = np.zeros(2 * len(dmv), dtype=np.uint16)
+    trace[1::2] = dmv
+    return cols, trace, 2 * (nbB - 1)
+

@@ -121,3 +121,53 @@ def test_native_chaining_matches_numpy_join(lib, small_sim):
     np.testing.assert_array_equal(o1.a_end, o2.a_end)
     np.testing.assert_array_equal(o1.b_start, o2.b_start)
     np.testing.assert_array_equal(o1.b_end, o2.b_end)
+
+
+def test_native_emit_records_matches_numpy(lib):
+    """emit_records (C) must be bit-identical to the numpy _emit_records
+    tail on the same hit table: same accepted groups, spans, and traces."""
+    import hinge_tpu.native as hn
+    from hinge_tpu.data.overlaps import ReadStore
+    from hinge_tpu.overlap import mapper
+
+    rng = np.random.default_rng(7)
+    G = 300
+    n_reads, n_targets = 40, 40
+    lens = rng.integers(2000, 12000, n_reads).astype(np.int64)
+    index = mapper.MapperIndex(k=15, w=10, hashes=np.zeros(0, np.uint64),
+                               packed=np.zeros(0, np.uint64), t_len=lens)
+    rs = ReadStore(length=lens.astype(np.int32))
+    rows, qs_, ts_ = [], [], []
+    for g in range(G):
+        n = int(rng.integers(1, 60))
+        q0 = int(rng.integers(0, 1500))
+        q = np.sort(rng.integers(q0, q0 + 4000, n))
+        t = q + rng.integers(-40, 40, n) + int(rng.integers(-500, 500))
+        t = np.maximum(t, 0)
+        rows += [g] * n
+        qs_.append(q)
+        ts_.append(t)
+    row_of = np.asarray(rows, dtype=np.int64)
+    tq = np.concatenate(qs_).astype(np.int64)
+    tt = np.concatenate(ts_).astype(np.int64)
+    # shuffle within the table (emit must re-sort stably)
+    perm = rng.permutation(len(row_of))
+    row_of, tq, tt = row_of[perm], tq[perm], tt[perm]
+    g_rid = rng.integers(0, n_reads, G).astype(np.int64)
+    g_strand = rng.integers(0, 2, G).astype(np.int64)
+    g_tid = rng.integers(0, n_targets, G).astype(np.int64)
+
+    args = (row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
+            15, 1000, 2, 100, 0)
+    ov_nat = mapper._emit_records(*args)
+    real_get = hn.get_lib
+    hn.get_lib = lambda: None
+    try:
+        ov_np = mapper._emit_records(*args)
+    finally:
+        hn.get_lib = real_get
+    assert ov_nat.n == ov_np.n
+    for f in "a_id b_id a_len b_len a_start a_end b_start b_end rc tlen".split():
+        np.testing.assert_array_equal(getattr(ov_nat, f), getattr(ov_np, f),
+                                      err_msg=f)
+    np.testing.assert_array_equal(ov_nat.trace, ov_np.trace)
