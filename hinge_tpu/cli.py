@@ -308,6 +308,72 @@ def cmd_gt(args):
     print(f"[gt] mapping -> {args.out}")
 
 
+def cmd_n50(args):
+    """N50 report (scripts/compute_n50_from_draft.py): draft graphml or
+    FASTA input."""
+    from hinge_tpu.graph.analysis import n50_from_draft_graphml, n50_from_fasta
+
+    if args.input.endswith((".graphml", ".gml")):
+        stats = n50_from_draft_graphml(args.input)
+    else:
+        stats = n50_from_fasta(args.input)
+    for k, v in stats.items():
+        print(f"{k}\t{v}")
+
+
+def cmd_unitig(args):
+    """Unitig path extraction (scripts/unitig.py)."""
+    import networkx as nx
+
+    from hinge_tpu.graph.analysis import write_unitig_edges
+
+    g = nx.read_graphml(args.graphml)
+    out = args.out or (args.graphml.split(".")[0] + ".edges.list")
+    n = write_unitig_edges(g, out)
+    print(f"[unitig] {n} unitigs -> {out}")
+
+
+def cmd_fasta2fastq(args):
+    from hinge_tpu.io.fasta import fasta_to_fastq
+
+    n = fasta_to_fastq(args.input, args.output)
+    print(f"[fasta2fastq] {n} records -> {args.output}")
+
+
+def cmd_clip_ends(args):
+    from hinge_tpu.utils.smalltools import clip_ends
+
+    kept = clip_ends(args.ground_truth, args.edges, args.out)
+    print(f"[clip-ends] {kept} edges kept -> {args.out or args.edges + '.clipped'}")
+
+
+def cmd_bandage(args):
+    from hinge_tpu.utils.smalltools import create_bandage_file
+
+    n = create_bandage_file(args.edges, args.out)
+    print(f"[bandage] {n} nodes -> {args.out}")
+
+
+def cmd_condense_gfa(args):
+    from hinge_tpu.graph.condense import condense_gfa_n50
+
+    n50, g = condense_gfa_n50(args.edges, mapping_json=args.json,
+                              out_prefix=args.out_prefix)
+    print(f"[condense-gfa] {len(g)} nodes, N50 = {n50}")
+
+
+def cmd_draw(args):
+    """Pile-o-gram of one read's overlaps (scripts/draw2.py)."""
+    from hinge_tpu.io.las import read_las
+    from hinge_tpu.utils.draw import plot_pileup
+
+    rs = _load_reads(args)
+    ov = read_las(args.las, read_lengths=rs.length)
+    out = args.out or f"read_{args.read}.png"
+    n = plot_pileup(ov, rs, args.read, out)
+    print(f"[draw] read {args.read}: {n} partners -> {out}")
+
+
 def cmd_assemble(args):
     """One-shot pipeline: overlaps -> consensus GFA (our extension)."""
     from hinge_tpu.pipeline import assemble
@@ -416,6 +482,45 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--fasta", default="")
     sp.add_argument("--out", "-o", required=True)
     sp.set_defaults(func=cmd_gt)
+
+    sp = sub.add_parser("n50")
+    sp.add_argument("input", help="draft graphml or fasta")
+    sp.set_defaults(func=cmd_n50)
+
+    sp = sub.add_parser("unitig")
+    sp.add_argument("graphml")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(func=cmd_unitig)
+
+    sp = sub.add_parser("fasta2fastq")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(func=cmd_fasta2fastq)
+
+    sp = sub.add_parser("clip-ends")
+    sp.add_argument("ground_truth")
+    sp.add_argument("edges")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(func=cmd_clip_ends)
+
+    sp = sub.add_parser("bandage")
+    sp.add_argument("edges")
+    sp.add_argument("out")
+    sp.set_defaults(func=cmd_bandage)
+
+    sp = sub.add_parser("condense-gfa")
+    sp.add_argument("edges")
+    sp.add_argument("--json", default=None)
+    sp.add_argument("--out-prefix", default=None)
+    sp.set_defaults(func=cmd_condense_gfa)
+
+    sp = sub.add_parser("draw")
+    sp.add_argument("las")
+    sp.add_argument("read", type=int)
+    sp.add_argument("--db", default="")
+    sp.add_argument("--fasta", default="")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(func=cmd_draw)
 
     sp = sub.add_parser("assemble")
     sp.add_argument("--fasta", default="")

@@ -74,6 +74,24 @@ def read_fasta(path: str) -> ReadStore:
     return ReadStore(length=length, bases_off=bases_off, bases=bases, names=names)
 
 
+def read_fasta_lengths(path: str) -> List[int]:
+    """Sequence lengths only (no base decoding)."""
+    return [len(seq) for _, seq, _ in iter_fastx(path)]
+
+
+def fasta_to_fastq(fa_path: str, fq_path: str, qual: int = 40) -> int:
+    """FASTA -> FASTQ with a static phred quality
+    (reference scripts/fasta_to_fastq.py: phred 40 for every base).
+    Returns the record count."""
+    n = 0
+    qchar = chr(qual + 33)
+    with open(fq_path, "w") as fq:
+        for name, seq, _ in iter_fastx(fa_path):
+            fq.write(f"@{name}\n{seq}\n+\n{qchar * len(seq)}\n")
+            n += 1
+    return n
+
+
 def write_fasta(path: str, records, width: int = 0) -> None:
     """records: iterable of (name, seq). width=0 writes one line per seq
     (matches the reference stage outputs)."""
