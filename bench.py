@@ -48,7 +48,17 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
 
     nb = MAXLEN // RESO + 3
 
+    # NOTE: deliberately NOT one fused jit.  Each kernel below is jitted at
+    # its def site and compiles on the axon remote compiler in <=25s; fusing
+    # the whole chain into a single jit has been observed to compile for
+    # >40 minutes there (two big scatter graphs + masks in one module).
+    # Separate jits measure the same end-to-end device work, and the small
+    # intermediate glue (n_entries, maximum, sums) dispatches eagerly on
+    # device, so the timing still covers the full filter inner loop.
     @jax.jit
+    def _finish(cov, ms, mev, ann):
+        return cov.sum(), ms, mev, ann.astype(jnp.int32).sum()
+
     def step(a_id, a_start, a_end):
         cov = C.profile_coverage(
             a_id, a_start, a_end, jnp.int32(0), n_reads=N_READS, nb=nb, reso=RESO
@@ -67,7 +77,7 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
             reso=RESO, coverage_fraction=3, min_thresh=10, max_thresh=20,
             no_hinge_region=500,
         )
-        return cov.sum(), ms, mev, ann.astype(jnp.int32).sum()
+        return _finish(cov, ms, mev, ann)
 
     args = (jnp.asarray(a_id), jnp.asarray(a_start), jnp.asarray(a_end))
     out = step(*args)  # compile

@@ -67,6 +67,50 @@ def _fill_batch(q: jnp.ndarray, t: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray, 
     return D
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _fill_traceback(q: jnp.ndarray, t: jnp.ndarray, m: jnp.ndarray,
+                    n: jnp.ndarray, *, w: int):
+    """DP fill + lock-step traceback entirely on device.
+
+    Returns (moves int8 [B, 2W] back-to-front: 0 diag / 1 up / 2 left,
+    -1 once finished; cnt int32 [B]).  Only ~2W bytes per window leave the
+    device instead of the (W+1)^2 int16 cost matrix."""
+    B = q.shape[0]
+    D = _fill_batch(q, t, m, n, w=w).astype(jnp.int32)  # [B, W+1, W+1]
+    Dflat = D.reshape(B, (w + 1) * (w + 1))
+    qi32 = q.astype(jnp.int32)
+    ti32 = t.astype(jnp.int32)
+
+    def at(i, j):
+        return jnp.take_along_axis(
+            Dflat, (i * (w + 1) + j)[:, None], axis=1
+        )[:, 0]
+
+    def step(state, _):
+        i, j = state
+        active = (i > 0) | (j > 0)
+        im1 = jnp.maximum(i - 1, 0)
+        jm1 = jnp.maximum(j - 1, 0)
+        cur = at(i, j)
+        qb = jnp.take_along_axis(qi32, im1[:, None], axis=1)[:, 0]
+        tb = jnp.take_along_axis(ti32, jm1[:, None], axis=1)[:, 0]
+        sub = jnp.where(qb == tb, 0, 1)
+        diag_ok = (i > 0) & (j > 0) & (at(im1, jm1) + sub == cur)
+        up_ok = (i > 0) & (at(im1, j) + 1 == cur)
+        move = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2))
+        move = jnp.where(active, move, -1).astype(jnp.int8)
+        i = jnp.where(active & (move != 2), i - 1, i)
+        j = jnp.where(active & (move != 1), j - 1, j)
+        return (i, j), move
+
+    (_, _), moves = jax.lax.scan(
+        step, (m.astype(jnp.int32), n.astype(jnp.int32)), None, length=2 * w
+    )
+    moves = jnp.swapaxes(moves, 0, 1)  # [B, 2W]
+    cnt = jnp.sum(moves >= 0, axis=1).astype(jnp.int32)
+    return moves, cnt
+
+
 def align_batch(
     qs: Sequence[np.ndarray], ts: Sequence[np.ndarray], w: int = 128
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -93,38 +137,12 @@ def align_batch(
         q[k, : m[k]] = qs[k]
         t[k, : n[k]] = ts[k]
 
-    D = np.asarray(_fill_batch(jnp.asarray(q), jnp.asarray(t), jnp.asarray(m), jnp.asarray(n), w=w))
-    D = D[:B]
+    mv_d, cnt_d = _fill_traceback(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(m), jnp.asarray(n), w=w
+    )
+    mv = np.asarray(mv_d)[:B]
+    cnt = np.asarray(cnt_d)[:B]
     q, t, m, n = q[:B], t[:B], m[:B], n[:B]
-
-    # lock-step traceback
-    i = m.astype(np.int64).copy()
-    j = n.astype(np.int64).copy()
-    max_steps = int((m + n).max()) if B else 0
-    # moves recorded back-to-front: 0 diag, 1 up (consume q), 2 left (consume t)
-    mv = np.zeros((B, max_steps), dtype=np.int8)
-    cnt = np.zeros(B, dtype=np.int64)
-    bidx = np.arange(B)
-    for _ in range(max_steps):
-        active = (i > 0) | (j > 0)
-        if not active.any():
-            break
-        ii = np.maximum(i, 0)
-        jj_ = np.maximum(j, 0)
-        cur = D[bidx, ii, jj_]
-        can_diag = (i > 0) & (j > 0)
-        sub = np.where(
-            q[bidx, np.maximum(i - 1, 0)] == t[bidx, np.maximum(j - 1, 0)], 0, 1
-        )
-        diag_ok = can_diag & (D[bidx, np.maximum(i - 1, 0), np.maximum(j - 1, 0)] + sub == cur)
-        up_ok = (i > 0) & (D[bidx, np.maximum(i - 1, 0), jj_] + 1 == cur)
-        move = np.where(diag_ok, 0, np.where(up_ok, 1, 2)).astype(np.int8)
-        move = np.where(active, move, -1)
-        sel = active
-        mv[bidx[sel], cnt[sel]] = move[sel]
-        cnt[sel] += 1
-        i = np.where(sel & (move != 2), i - 1, i)
-        j = np.where(sel & (move != 1), j - 1, j)
 
     out: List[Tuple[np.ndarray, np.ndarray]] = []
     from hinge_tpu.ops.myers import align_full as _scalar_align_full
