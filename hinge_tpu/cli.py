@@ -374,6 +374,29 @@ def cmd_draw(args):
     print(f"[draw] read {args.read}: {n} partners -> {out}")
 
 
+def cmd_merge_hinges(args):
+    """Alternative hinge-merged layout post-processing
+    (scripts/merge_hinges.py)."""
+    from hinge_tpu.graph.merge_hinges import merge_hinges_run
+
+    out = merge_hinges_run(
+        args.edges, args.hgraph, args.hinges,
+        gt_file=args.gt or None, prefix=args.prefix or None, seed=args.seed,
+    )
+    for name, g in out.items():
+        print(f"[merge-hinges] {name}: {g.number_of_nodes()} nodes "
+              f"{g.number_of_edges()} edges")
+
+
+def cmd_single_strand(args):
+    """Keep one strand per contig pair (get_draft_path_norevcomp.py /
+    get_single_strand.py)."""
+    from hinge_tpu.io.fasta import select_single_strand
+
+    n = select_single_strand(args.input, args.output, mode=args.mode)
+    print(f"[single-strand] {n} records -> {args.output}")
+
+
 def cmd_assemble(args):
     """One-shot pipeline: overlaps -> consensus GFA (our extension)."""
     from hinge_tpu.pipeline import assemble
@@ -381,6 +404,7 @@ def cmd_assemble(args):
     assemble(
         fasta=args.fasta, paf=args.paf, db=args.db, las=args.las,
         config=args.config, workdir=args.workdir, nanopore=args.nanopore,
+        norevcomp=args.norevcomp,
     )
 
 
@@ -522,6 +546,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--out", default=None)
     sp.set_defaults(func=cmd_draw)
 
+    sp = sub.add_parser("merge-hinges", aliases=["merge_hinges"])
+    sp.add_argument("edges", help="X.edges.hinges2")
+    sp.add_argument("hgraph", help="X.hgraph")
+    sp.add_argument("hinges", help="X.hinge.list")
+    sp.add_argument("--gt", default="", help="X.mapping.json ground truth")
+    sp.add_argument("--prefix", default="")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(func=cmd_merge_hinges)
+
+    sp = sub.add_parser("single-strand", aliases=["norevcomp"])
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--mode", choices=["even", "first"], default="even")
+    sp.set_defaults(func=cmd_single_strand)
+
     sp = sub.add_parser("assemble")
     sp.add_argument("--fasta", default="")
     sp.add_argument("--paf", default="")
@@ -530,6 +569,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--config", "-c", default="")
     sp.add_argument("--workdir", "-w", default=".")
     sp.add_argument("--nanopore", action="store_true")
+    sp.add_argument("--norevcomp", action="store_true")
     sp.set_defaults(func=cmd_assemble)
 
     args = ap.parse_args(argv)

@@ -105,6 +105,41 @@ def write_fasta(path: str, records, width: int = 0) -> None:
                     f.write(seq[i : i + width] + "\n")
 
 
+def select_single_strand(in_path: str, out_path: str, mode: str = "even") -> int:
+    """Keep one strand per contig pair from a draft/consensus FASTA.
+
+    The draft-path stage writes each contig immediately followed by its
+    reverse complement, so the single-strand file is every even-indexed
+    record (reference: scripts/get_draft_path_norevcomp.py:8-11, the input
+    to the norevcomp consensus flow of pipeline_consensus_norevcomp.py).
+
+    mode="even"  — keep records 0, 2, 4, ... (the norevcomp filter).
+    mode="first" — replicate scripts/get_single_strand.py:12-16 exactly: its
+    counter only increments on a write, so after record 0 ('Consensus0') the
+    parity test never passes again and only the FIRST record is emitted —
+    a reference quirk kept verbatim for parity.
+
+    Returns the number of records written.
+    """
+    if mode not in ("even", "first"):
+        raise ValueError(f"mode must be 'even' or 'first', got {mode!r}")
+    n = 0
+    with open(out_path, "w") as f:
+        if mode == "even":
+            for i, (name, seq, _q) in enumerate(iter_fastx(in_path)):
+                if i % 2 == 0:
+                    f.write(f">{name}\n{seq}\n")
+                    n += 1
+        else:
+            j = 0
+            for name, seq, _q in iter_fastx(in_path):
+                if j % 2 == 0:
+                    f.write(f">Consensus{j}\n{seq}\n")
+                    j += 1
+                    n += 1
+    return n
+
+
 def correct_head(in_path: str, out_path: str, lookup_path: str) -> None:
     """Rewrite headers to the PacBio `m000_000/{zmw}/{start}_{end}` form that
     fasta2DB requires; drop sequences < 30bp as 'Deleted'

@@ -29,9 +29,14 @@ def assemble(
     config: str = "",
     workdir: str = ".",
     nanopore: bool = False,
+    norevcomp: bool = False,
     prefix: str = "asm",
     log=print,
 ) -> dict:
+    """norevcomp=True runs the single-strand consensus flow
+    (scripts/pipeline_consensus_norevcomp.py:40-97): the draft keeps only one
+    strand of each contig pair (draft-path emits contig + revcomp adjacently)
+    and the polished output is X.norevcomp_consensus.fasta."""
     from hinge_tpu.config import Config, nominal_config
     from hinge_tpu.data.overlaps import str_to_codes
     from hinge_tpu.io.fasta import correct_head, read_fasta
@@ -111,16 +116,25 @@ def assemble(
     log(f"[assemble] draft: {len(contigs)} contigs ({time.time()-t:.1f}s)")
 
     t = time.time()
-    correct_head(p + ".draft.fasta", p + ".draft.pb.fasta",
+    draft_fasta = p + ".draft.fasta"
+    cons_fasta = p + ".consensus.fasta"
+    if norevcomp:
+        from hinge_tpu.io.fasta import select_single_strand
+
+        draft_fasta = p + ".draft.norevcomp.fasta"
+        select_single_strand(p + ".draft.fasta", draft_fasta, mode="even")
+        contigs = contigs[::2]
+        cons_fasta = p + ".norevcomp_consensus.fasta"
+    correct_head(draft_fasta, p + ".draft.pb.fasta",
                  os.path.join(workdir, "draft_map.txt"))
     targets = [str_to_codes(seq) for _, seq in contigs]
     aln = map_reads_to_targets(targets, rs)
-    cons = run_consensus(contigs, rs, aln, cfg, out_fasta=p + ".consensus.fasta")
+    cons = run_consensus(contigs, rs, aln, cfg, out_fasta=cons_fasta)
     log(f"[assemble] consensus: {len(cons)} contigs ({time.time()-t:.1f}s)")
 
     gfa_lines = run_gfa(
         p + "_draft.graphml", os.path.join(workdir, "draft_map.txt"),
-        p + ".consensus.fasta",
+        cons_fasta,
         out_gfa=p + "_consensus.gfa",
     )
     log(f"[assemble] total {time.time()-t0:.1f}s -> {p}_consensus.gfa")
