@@ -374,6 +374,42 @@ def cmd_draw(args):
     print(f"[draw] read {args.read}: {n} partners -> {out}")
 
 
+def cmd_hgraph(args):
+    """Hinge-graph file -> graphml (scripts/create_hgraph[_nogt].py)."""
+    import json
+
+    from hinge_tpu.graph.analysis import create_hgraph
+
+    gt = None
+    if args.gt:
+        with open(args.gt) as f:
+            gt = json.load(f)
+    _, n_weak, n_strong = create_hgraph(args.hgraph, gt=gt, out_graphml=args.out)
+    print(n_weak)
+    print(n_strong)
+
+
+def cmd_connected(args):
+    """Iterated in-degree-0 trim of a `u->v` edge list (scripts/connected.py)."""
+    from hinge_tpu.graph.analysis import connected_trim
+
+    g = connected_trim(args.edges, args.dfs_out, out_graphml=args.out,
+                       n_iter=args.iters)
+    comps = [len(c) for c in __import__("networkx").weakly_connected_components(g)]
+    print(f"[connected] {g.number_of_nodes()} nodes "
+          f"{g.number_of_edges()} edges, components {sorted(comps, reverse=True)}")
+
+
+def cmd_repeat_annotate(args):
+    """Annotate ground-truth rows with a repeat flag
+    (scripts/repeat_annotate_reads.py, internal repeat finder)."""
+    from hinge_tpu.utils.smalltools import repeat_annotate_reads
+
+    n = repeat_annotate_reads(args.fasta, args.gt, args.out,
+                              min_len=args.min_len, repeats_out=args.repeats)
+    print(f"[repeat-annotate] {n} rows -> {args.out}")
+
+
 def cmd_merge_hinges(args):
     """Alternative hinge-merged layout post-processing
     (scripts/merge_hinges.py)."""
@@ -545,6 +581,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--fasta", default="")
     sp.add_argument("--out", default=None)
     sp.set_defaults(func=cmd_draw)
+
+    sp = sub.add_parser("hgraph", aliases=["create-hgraph"])
+    sp.add_argument("hgraph", help="X.hgraph")
+    sp.add_argument("--gt", default="", help="X.mapping.json ground truth")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(func=cmd_hgraph)
+
+    sp = sub.add_parser("connected")
+    sp.add_argument("edges", help="edge file of 'u->v' lines")
+    sp.add_argument("dfs_out", help="output DFS edge list")
+    sp.add_argument("--out", default=None, help="output graphml")
+    sp.add_argument("--iters", type=int, default=15)
+    sp.set_defaults(func=cmd_connected)
+
+    sp = sub.add_parser("repeat-annotate", aliases=["repeat_annotate"])
+    sp.add_argument("fasta", help="genome multifasta (headers = 1-based chr)")
+    sp.add_argument("gt", help="ground-truth file: read chr start end ...")
+    sp.add_argument("out")
+    sp.add_argument("--min-len", type=int, default=1000)
+    sp.add_argument("--repeats", default=None, help="write discovered repeats")
+    sp.set_defaults(func=cmd_repeat_annotate)
 
     sp = sub.add_parser("merge-hinges", aliases=["merge_hinges"])
     sp.add_argument("edges", help="X.edges.hinges2")

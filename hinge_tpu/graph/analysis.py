@@ -166,3 +166,87 @@ def longest_path(g: nx.DiGraph) -> List[str]:
         path.append(node)
         length, node = dist[node]
     return list(reversed(path))
+
+
+def create_hgraph(
+    hgraph_path: str,
+    gt: Dict | None = None,
+    out_graphml: str | None = None,
+) -> tuple:
+    """Hinge-graph file -> graphml with activity (and optional ground-truth
+    alignment span) node attributes.
+
+    Mirrors scripts/create_hgraph_nogt.py:14-31 (and create_hgraph.py:14-46
+    when `gt` — a mapping.json dict {read_id_str: [[start, end, ...], ...]} —
+    is given): each `a b pos_a pos_b active rev` line of X.hgraph becomes the
+    edge "a_pos_a" -> "b_pos_b"; the source node is marked active=1 and the
+    target takes the line's `active` field; with ground truth, each node
+    carries aln_start/aln_end = min/max of the read's first mapping span
+    (0/0 when unmapped).  Returns (graph, n_weakly_cc, n_strongly_cc).
+    """
+    g = nx.DiGraph()
+    with open(hgraph_path) as f:
+        for line in f:
+            cols = line.split()
+            if len(cols) < 5:
+                continue
+            u = cols[0] + "_" + cols[2]
+            v = cols[1] + "_" + cols[3]
+            g.add_node(u)
+            g.add_node(v)
+            if gt is not None:
+                for rid, node in ((cols[0], u), (cols[1], v)):
+                    if rid in gt:
+                        span = gt[rid][0]
+                        g.nodes[node]["aln_start"] = min(span[0], span[1])
+                        g.nodes[node]["aln_end"] = max(span[0], span[1])
+                    else:
+                        g.nodes[node]["aln_start"] = 0
+                        g.nodes[node]["aln_end"] = 0
+            g.nodes[u]["active"] = 1
+            g.nodes[v]["active"] = int(cols[4])
+            g.add_edge(u, v)
+    if out_graphml is None:
+        out_graphml = hgraph_path.split(".")[0] + "_hgraph.graphml"
+    nx.write_graphml(g, out_graphml)
+    return (
+        g,
+        nx.number_weakly_connected_components(g),
+        nx.number_strongly_connected_components(g),
+    )
+
+
+def connected_trim(
+    edges_path: str,
+    out_dfs_path: str,
+    out_graphml: str | None = None,
+    n_iter: int = 15,
+) -> nx.DiGraph:
+    """Iterated in-degree-0 trimming of an `u->v` edge-list graph.
+
+    Mirrors scripts/connected.py:27-73: parse "u->v" lines, run `n_iter`
+    rounds of removing every node whose in-degree is 0 at visit time (the
+    reference iterates over a nodes() snapshot while mutating, so removals
+    earlier in a round expose new zero-in-degree nodes within the same
+    round), write the trimmed graph to graphml and its DFS edge sequence to
+    `out_dfs_path`.  Returns the trimmed graph.
+    """
+    g = nx.DiGraph()
+    with open(edges_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            u, _, v = line.partition("->")
+            g.add_edge(u.strip(), v.strip())
+    for _ in range(n_iter):
+        for node in list(g.nodes()):
+            if g.in_degree(node) == 0:
+                g.remove_node(node)
+    if out_graphml is None:
+        out_graphml = edges_path.split(".")[0] + ".graphml"
+    nx.write_graphml(g, out_graphml)
+    with open(out_dfs_path, "w") as f:
+        for edge in nx.dfs_edges(g):
+            f.write("{} {}\n".format(edge[0], edge[1]))
+    return g
