@@ -440,8 +440,13 @@ def cmd_assemble(args):
     assemble(
         fasta=args.fasta, paf=args.paf, db=args.db, las=args.las,
         config=args.config, workdir=args.workdir, nanopore=args.nanopore,
-        norevcomp=args.norevcomp,
+        norevcomp=args.norevcomp, trace_dir=args.trace,
     )
+    if args.timings:
+        from hinge_tpu.utils.log import timings
+
+        for name, dt in timings().items():
+            print(f"[timing] {name}: {dt:.2f}s")
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -627,6 +632,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--workdir", "-w", default=".")
     sp.add_argument("--nanopore", action="store_true")
     sp.add_argument("--norevcomp", action="store_true")
+    sp.add_argument("--trace", default="",
+                    help="write a JAX profiler (Perfetto) trace to this dir")
+    sp.add_argument("--timings", action="store_true",
+                    help="print per-stage wall times at the end")
     sp.set_defaults(func=cmd_assemble)
 
     args = ap.parse_args(argv)

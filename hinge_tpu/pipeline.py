@@ -32,12 +32,44 @@ def assemble(
     norevcomp: bool = False,
     prefix: str = "asm",
     log=print,
+    trace_dir: str = "",
 ) -> dict:
     """norevcomp=True runs the single-strand consensus flow
     (scripts/pipeline_consensus_norevcomp.py:40-97): the draft keeps only one
     strand of each contig pair (draft-path emits contig + revcomp adjacently)
-    and the polished output is X.norevcomp_consensus.fasta."""
+    and the polished output is X.norevcomp_consensus.fasta.
+
+    trace_dir, when set, wraps the run in a JAX profiler trace
+    (Perfetto/TensorBoard) — the observability upgrade over the reference's
+    wall-clock prints (SURVEY.md §5).  Per-stage wall times accumulate in
+    hinge_tpu.utils.log.timings() and are mirrored to <workdir>/log/log.txt
+    (the reference's spdlog dual sink, filter.cpp:201-205)."""
     from hinge_tpu.config import Config, nominal_config
+    from hinge_tpu.utils.log import get_logger, jax_trace, stage_timer
+
+    os.makedirs(workdir, exist_ok=True)
+    p = os.path.join(workdir, prefix)
+    cfg = Config.from_ini(config) if config else nominal_config()
+    logger = get_logger(os.path.join(workdir, "log"))
+    if log is print:
+        # default: the logger's stdout+file dual sink is the console output
+        log = logger.info
+    else:
+        _log = log
+
+        def log(msg):
+            _log(msg)
+            logger.info(msg)
+
+    with jax_trace(trace_dir):
+        return _assemble_body(
+            fasta, paf, db, las, workdir, nanopore, norevcomp, p, cfg, log,
+            stage_timer,
+        )
+
+
+def _assemble_body(fasta, paf, db, las, workdir, nanopore, norevcomp, p, cfg,
+                   log, stage_timer) -> dict:
     from hinge_tpu.data.overlaps import str_to_codes
     from hinge_tpu.io.fasta import correct_head, read_fasta
     from hinge_tpu.io.las import read_las
@@ -52,10 +84,6 @@ def assemble(
     from hinge_tpu.stages.gfa import run_gfa
     from hinge_tpu.stages.layout import load_marked, run_layout
     from hinge_tpu.stages.maximal import run_maximal
-
-    os.makedirs(workdir, exist_ok=True)
-    p = os.path.join(workdir, prefix)
-    cfg = Config.from_ini(config) if config else nominal_config()
 
     t0 = time.time()
     if db:
@@ -74,7 +102,8 @@ def assemble(
         from hinge_tpu.overlap.mapper import overlap_reads
 
         t_ovl = time.time()
-        parts = [overlap_reads(rs)]
+        with stage_timer("overlap"):
+            parts = [overlap_reads(rs)]
         log(f"[assemble] built-in overlapper: {parts[0].n} overlaps "
             f"({time.time()-t_ovl:.1f}s)")
     has_db = bool(las) or not paf
@@ -82,37 +111,44 @@ def assemble(
         f"({time.time()-t0:.1f}s)")
 
     t = time.time()
-    fres = run_filter(rs, parts, cfg, out_prefix=p)
+    with stage_timer("filter"):
+        fres = run_filter(rs, parts, cfg, out_prefix=p)
     log(f"[assemble] filter done ({time.time()-t:.1f}s)")
 
     t = time.time()
     eff_s = fres.maskvec[:, 0].astype(np.int32)
     eff_e = fres.maskvec[:, 1].astype(np.int32)
-    mres = run_maximal(rs, parts, cfg, eff_s, eff_e, out_prefix=p, has_db=has_db)
+    with stage_timer("maximal"):
+        mres = run_maximal(rs, parts, cfg, eff_s, eff_e, out_prefix=p,
+                           has_db=has_db)
     log(f"[assemble] maximal: {int(mres.active.sum())}/{rs.n_reads} reads "
         f"({time.time()-t:.1f}s)")
 
     t = time.time()
-    lres = run_layout(
-        rs, parts, cfg, eff_s, eff_e, mres.active,
-        load_marked(p + ".repeat.txt"), load_marked(p + ".hinges.txt"),
-        out_prefix=p, filter_prefix=p, has_db=has_db,
-    )
+    with stage_timer("layout"):
+        lres = run_layout(
+            rs, parts, cfg, eff_s, eff_e, mres.active,
+            load_marked(p + ".repeat.txt"), load_marked(p + ".hinges.txt"),
+            out_prefix=p, filter_prefix=p, has_db=has_db,
+        )
     log(f"[assemble] layout: {len(lres.edges_hinges)} edges ({time.time()-t:.1f}s)")
 
     t = time.time()
-    graphs = run_clip(p + ".edges.hinges", p + ".hinge.list", "1", cfg,
-                      nanopore=nanopore, write_viz=False)
+    with stage_timer("clip"):
+        graphs = run_clip(p + ".edges.hinges", p + ".hinge.list", "1", cfg,
+                          nanopore=nanopore, write_viz=False)
     G_final = graphs.get("G3", graphs["G2"])
     log(f"[assemble] clip: {len(G_final)} graph nodes ({time.time()-t:.1f}s)")
 
     t = time.time()
-    lines, _ = run_draft_path(
-        G_final, rs.length,
-        out_edges_list=p + ".edges.list", out_graphml=p + "_draft.graphml",
-    )
-    contigs = run_draft(rs, parts, cfg, mres.active, lines,
-                        out_fasta=p + ".draft.fasta")
+    with stage_timer("draft_path"):
+        lines, _ = run_draft_path(
+            G_final, rs.length,
+            out_edges_list=p + ".edges.list", out_graphml=p + "_draft.graphml",
+        )
+    with stage_timer("draft"):
+        contigs = run_draft(rs, parts, cfg, mres.active, lines,
+                            out_fasta=p + ".draft.fasta")
     log(f"[assemble] draft: {len(contigs)} contigs ({time.time()-t:.1f}s)")
 
     t = time.time()
@@ -128,14 +164,17 @@ def assemble(
     correct_head(draft_fasta, p + ".draft.pb.fasta",
                  os.path.join(workdir, "draft_map.txt"))
     targets = [str_to_codes(seq) for _, seq in contigs]
-    aln = map_reads_to_targets(targets, rs)
-    cons = run_consensus(contigs, rs, aln, cfg, out_fasta=cons_fasta)
+    with stage_timer("map"):
+        aln = map_reads_to_targets(targets, rs)
+    with stage_timer("consensus"):
+        cons = run_consensus(contigs, rs, aln, cfg, out_fasta=cons_fasta)
     log(f"[assemble] consensus: {len(cons)} contigs ({time.time()-t:.1f}s)")
 
-    gfa_lines = run_gfa(
-        p + "_draft.graphml", os.path.join(workdir, "draft_map.txt"),
-        cons_fasta,
-        out_gfa=p + "_consensus.gfa",
-    )
+    with stage_timer("gfa"):
+        gfa_lines = run_gfa(
+            p + "_draft.graphml", os.path.join(workdir, "draft_map.txt"),
+            cons_fasta,
+            out_gfa=p + "_consensus.gfa",
+        )
     log(f"[assemble] total {time.time()-t0:.1f}s -> {p}_consensus.gfa")
     return dict(contigs=cons, draft=contigs, graphs=graphs, gfa=gfa_lines)
