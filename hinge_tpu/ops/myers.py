@@ -53,11 +53,43 @@ def _snake(q: np.ndarray, t: np.ndarray, x: int, y: int) -> int:
     return int(idx)
 
 
+def _match_run_table(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """R[x, y] = length of the maximal match run starting at (x, y).
+
+    Exact precomputation of every _snake answer for one window: bottom-up
+    R[x, y] = (q[x] == t[y]) * (R[x+1, y+1] + 1) with zero padding, so the
+    d-loop's snake extension becomes an O(1) table lookup instead of a numpy
+    mismatch scan per (d, k).  Bit-identical results; only worth the O(mn)
+    table for window-sized inputs (align_pair guards the size)."""
+    m, n = len(q), len(t)
+    R = np.zeros((m + 1, n + 1), dtype=np.int32)
+    M = q[:, None] == t[None, :]
+    for x in range(m - 1, -1, -1):
+        R[x, :n] = np.where(M[x], R[x + 1, 1 : n + 1] + 1, 0)
+    return R
+
+
+_RUN_TABLE_MAX = 512 * 512  # ~1MB int32 table cap
+
+
 def align_pair(q: np.ndarray, t: np.ndarray, band_tolerance: int = 150) -> Alignment:
     """DW_banded.c:_align transcription (get_aln_str=1)."""
     q_len, t_len = len(q), len(t)
     if q_len == 0 and t_len == 0:
         return Alignment(True, np.zeros(0, np.uint8), np.zeros(0, np.uint8))
+    if 0 < q_len * t_len <= _RUN_TABLE_MAX:
+        R = _match_run_table(q, t)
+
+        def snake(x, y):
+            if 0 <= x < q_len and 0 <= y < t_len:
+                return int(R[x, y])
+            return _snake(q, t, x, y)
+
+    else:
+
+        def snake(x, y):
+            return _snake(q, t, x, y)
+
     max_d = int(0.3 * (q_len + t_len))
     band_size = band_tolerance * 2
     k_offset = max_d
@@ -81,7 +113,7 @@ def align_pair(q: np.ndarray, t: np.ndarray, band_tolerance: int = 150) -> Align
                 x = int(V[k - 1 + k_offset]) + 1
             y = x - k
             x1, y1 = x, y
-            run = _snake(q, t, x, y)
+            run = snake(x, y)
             x += run
             y += run
             d_path[(d, k)] = (x1, y1, x, y, pre_k)
