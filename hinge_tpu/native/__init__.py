@@ -64,7 +64,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.minimizers.restype = c.c_int64
         if hasattr(lib, "map_block_hits"):
             lib.map_block_hits.restype = c.c_int64
-        for fn in ("minimizers_batch", "index_sort_filter", "emit_records"):
+        for fn in ("minimizers_batch", "index_sort_filter", "emit_records",
+                   "myers_align_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
         _lib = lib

@@ -860,3 +860,214 @@ int64_t emit_records(const int32_t* row, const int32_t* q, const int32_t* t,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched banded Myers O(ND) alignment — native transcription of
+// hinge_tpu/ops/myers.py (align_pair + align_full), which models the
+// reference's vendored FALCON aligner src/lib/DW_banded.c:_align.  Exact
+// same furthest-reaching-diagonal recurrence, predecessor tie-breaking,
+// adaptive band pruning, and align_full gap-padding semantics, so the
+// Python and native paths produce byte-identical alignment rows.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+namespace {
+
+struct DPathEntry {
+  int32_t x1, y1, x2, y2, pre_k;
+};
+
+constexpr uint8_t kGap = 4;
+
+// Aligns one window; writes align_full-style rows (columns consuming all of
+// q and t) into qr/tr.  Returns the row length, with *ok = 0 for the
+// degenerate not-aligned fallback (q then t in disjoint columns).
+int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
+                  int32_t band_tolerance, uint8_t* qr, uint8_t* tr,
+                  int32_t* ok, DPathEntry* d_path, int64_t* V, int64_t* U) {
+  *ok = 1;
+  if (m == 0 && n == 0) return 0;
+  const int64_t max_d = static_cast<int64_t>(0.3 * static_cast<double>(m + n));
+  const int64_t band_size = static_cast<int64_t>(band_tolerance) * 2;
+  const int64_t ko = max_d;  // k offset
+  std::fill(V, V + 2 * max_d + 2, 0);
+  std::fill(U, U + 2 * max_d + 2, 0);
+  // d_path[(d, k)] lives at offset d*(d+1)/2 + (k+d)/2 (k has parity of d);
+  // entries are written before any backtrack read, no init needed
+  int64_t best_m = -1;
+  int64_t min_k = 0, max_k = 0;
+  bool aligned = false;
+  int64_t x = 0, y = 0, k = 0, d = 0;
+  for (d = 0; d < max_d; d++) {
+    if (max_k - min_k > band_size) break;
+    const int64_t doff = d * (d + 1) / 2;
+    for (k = min_k; k <= max_k; k += 2) {
+      int32_t pre_k;
+      if (k == min_k || (k != max_k && V[k - 1 + ko] < V[k + 1 + ko])) {
+        pre_k = static_cast<int32_t>(k + 1);
+        x = V[k + 1 + ko];
+      } else {
+        pre_k = static_cast<int32_t>(k - 1);
+        x = V[k - 1 + ko] + 1;
+      }
+      y = x - k;
+      const int64_t x1 = x, y1 = y;
+      if (x >= 0 && y >= 0) {
+        while (x < m && y < n && q[x] == t[y]) {
+          x++;
+          y++;
+        }
+      }
+      DPathEntry& e = d_path[doff + (k + d) / 2];
+      e.x1 = static_cast<int32_t>(x1);
+      e.y1 = static_cast<int32_t>(y1);
+      e.x2 = static_cast<int32_t>(x);
+      e.y2 = static_cast<int32_t>(y);
+      e.pre_k = pre_k;
+      V[k + ko] = x;
+      U[k + ko] = x + y;
+      if (x + y > best_m) best_m = x + y;
+      if (x >= m || y >= n) {
+        aligned = true;
+        break;
+      }
+    }
+    if (aligned) break;
+    int64_t new_min_k = max_k, new_max_k = min_k;
+    for (int64_t k2 = min_k; k2 <= max_k; k2 += 2) {
+      if (U[k2 + ko] >= best_m - band_tolerance) {
+        if (k2 < new_min_k) new_min_k = k2;
+        if (k2 > new_max_k) new_max_k = k2;
+      }
+    }
+    max_k = new_max_k + 1;
+    min_k = new_min_k - 1;
+  }
+
+  int64_t L = 0;
+  if (!aligned) {
+    *ok = 0;
+    for (int64_t i = 0; i < m; i++) {
+      qr[L] = q[i];
+      tr[L] = kGap;
+      L++;
+    }
+    for (int64_t j = 0; j < n; j++) {
+      qr[L] = kGap;
+      tr[L] = t[j];
+      L++;
+    }
+    return L;
+  }
+
+  // backtrack: pairs (x1,y1),(x2,y2) per level, oldest first
+  std::vector<int32_t> path;  // flattened (x, y) pairs
+  path.reserve(4 * (d + 1));
+  {
+    int64_t cd = d, ck = k;
+    while (cd >= 0) {
+      const DPathEntry& e = d_path[cd * (cd + 1) / 2 + (ck + cd) / 2];
+      path.push_back(e.x2);
+      path.push_back(e.y2);
+      path.push_back(e.x1);
+      path.push_back(e.y1);
+      ck = e.pre_k;
+      cd--;
+    }
+  }
+  // path holds (x2,y2,x1,y1) newest-first; walk it oldest-first
+  const int64_t npts = static_cast<int64_t>(path.size()) / 2;
+  auto px = [&](int64_t i) { return path[2 * (npts - 1 - i)]; };
+  auto py = [&](int64_t i) { return path[2 * (npts - 1 - i) + 1]; };
+  int64_t cx = px(0), cy = py(0);
+  const int64_t q_s = cx, t_s = cy;
+  // leading skipped prefix (align_full)
+  if (q_s || t_s) {
+    for (int64_t i = 0; i < q_s; i++) {
+      qr[L] = q[i];
+      tr[L] = kGap;
+      L++;
+    }
+    for (int64_t j = 0; j < t_s; j++) {
+      qr[L] = kGap;
+      tr[L] = t[j];
+      L++;
+    }
+  }
+  for (int64_t i = 1; i < npts; i++) {
+    const int64_t nx = px(i), ny = py(i);
+    if (nx == cx && ny == cy) continue;
+    if (nx == cx) {
+      for (int64_t j = cy; j < ny; j++) {
+        qr[L] = kGap;
+        tr[L] = t[j];
+        L++;
+      }
+    } else if (ny == cy) {
+      for (int64_t j = cx; j < nx; j++) {
+        qr[L] = q[j];
+        tr[L] = kGap;
+        L++;
+      }
+    } else {
+      for (int64_t j = 0; j < nx - cx; j++) {
+        qr[L] = q[cx + j];
+        tr[L] = t[cy + j];
+        L++;
+      }
+    }
+    cx = nx;
+    cy = ny;
+  }
+  // trailing pads (align_full): q_e = x, t_e = y
+  if (x < m) {
+    for (int64_t i = x; i < m; i++) {
+      qr[L] = q[i];
+      tr[L] = kGap;
+      L++;
+    }
+  }
+  if (y < n) {
+    for (int64_t j = y; j < n; j++) {
+      qr[L] = kGap;
+      tr[L] = t[j];
+      L++;
+    }
+  }
+  return L;
+}
+
+}  // namespace
+
+// Batch: windows given as concatenated bytes + (B+1) offsets.  Rows are
+// packed at row_off (written by this function, B+1 entries); the caller
+// must size q_rows/t_rows to q_off[B] + t_off[B] (the worst case: every
+// column a gap).  ok[i] = 0 marks the degenerate not-aligned fallback.
+// Returns the total packed row length.
+int64_t myers_align_batch(const uint8_t* q, const int64_t* q_off,
+                          const uint8_t* t, const int64_t* t_off, int64_t B,
+                          int32_t band_tolerance, uint8_t* q_rows,
+                          uint8_t* t_rows, int64_t* row_off, int32_t* ok) {
+  int64_t max_mn = 0;
+  for (int64_t i = 0; i < B; i++) {
+    const int64_t mn =
+        (q_off[i + 1] - q_off[i]) + (t_off[i + 1] - t_off[i]);
+    if (mn > max_mn) max_mn = mn;
+  }
+  const int64_t dmax = static_cast<int64_t>(0.3 * static_cast<double>(max_mn));
+  std::vector<DPathEntry> d_path(static_cast<size_t>(dmax) * (dmax + 1) / 2 +
+                                 1);
+  std::vector<int64_t> V(2 * dmax + 2), U(2 * dmax + 2);
+  row_off[0] = 0;
+  for (int64_t i = 0; i < B; i++) {
+    const int64_t L = myers_one(
+        q + q_off[i], q_off[i + 1] - q_off[i], t + t_off[i],
+        t_off[i + 1] - t_off[i], band_tolerance, q_rows + row_off[i],
+        t_rows + row_off[i], ok + i, d_path.data(), V.data(), U.data());
+    row_off[i + 1] = row_off[i] + L;
+  }
+  return row_off[B];
+}
+
+}  // extern "C"

@@ -208,10 +208,11 @@ def align_overlap_rows_bulk(
         import jax
 
         if jax.default_backend() == "cpu":
-            from hinge_tpu.ops.myers import align_full as _scalar
+            from hinge_tpu.ops.myers import align_full_batch
 
-            for k in todo:
-                rows[k] = _scalar(qs[k], ts[k])
+            for k, r in zip(todo, align_full_batch([qs[k] for k in todo],
+                                                   [ts[k] for k in todo])):
+                rows[k] = r
         else:
             for base in range(0, len(todo), chunk):
                 sel = todo[base : base + chunk]

@@ -195,6 +195,55 @@ def align_full(q: np.ndarray, t: np.ndarray, band_tolerance: int = 150) -> Tuple
     return np.concatenate(q_chunks), np.concatenate(t_chunks)
 
 
+def align_full_batch(qs, ts, band_tolerance: int = 150):
+    """align_full over a batch of windows.
+
+    Uses the native C kernel (io_native.cpp myers_align_batch — the same
+    furthest-reaching-diagonal recurrence, so rows are byte-identical) when
+    the toolchain is available, else the Python loop.  This is the CPU
+    fast path for the draft/consensus window alignments.
+    """
+    B = len(qs)
+    if B == 0:
+        return []
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "myers_align_batch"):
+        return [align_full(q, t, band_tolerance) for q, t in zip(qs, ts)]
+    import ctypes as C
+
+    q_off = np.zeros(B + 1, dtype=np.int64)
+    t_off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in qs], out=q_off[1:])
+    np.cumsum([len(t) for t in ts], out=t_off[1:])
+    qcat = (np.concatenate(qs) if q_off[-1] else np.zeros(0, np.uint8)).astype(
+        np.uint8, copy=False)
+    tcat = (np.concatenate(ts) if t_off[-1] else np.zeros(0, np.uint8)).astype(
+        np.uint8, copy=False)
+    qcat = np.ascontiguousarray(qcat)
+    tcat = np.ascontiguousarray(tcat)
+    cap = int(q_off[-1] + t_off[-1])
+    q_rows = np.empty(cap, dtype=np.uint8)
+    t_rows = np.empty(cap, dtype=np.uint8)
+    row_off = np.empty(B + 1, dtype=np.int64)
+    ok = np.empty(B, dtype=np.int32)
+    u8p = C.POINTER(C.c_uint8)
+    i64p = C.POINTER(C.c_int64)
+    lib.myers_align_batch(
+        qcat.ctypes.data_as(u8p), q_off.ctypes.data_as(i64p),
+        tcat.ctypes.data_as(u8p), t_off.ctypes.data_as(i64p),
+        C.c_int64(B), C.c_int32(band_tolerance),
+        q_rows.ctypes.data_as(u8p), t_rows.ctypes.data_as(u8p),
+        row_off.ctypes.data_as(i64p), ok.ctypes.data_as(C.POINTER(C.c_int32)),
+    )
+    return [
+        (q_rows[row_off[i] : row_off[i + 1]].copy(),
+         t_rows[row_off[i] : row_off[i + 1]].copy())
+        for i in range(B)
+    ]
+
+
 def align_with_trace(
     a_seq: np.ndarray,  # full A read codes (read orientation)
     b_seq: np.ndarray,  # full B read codes, COMPLEMENTED when rc=1 (i.e. in

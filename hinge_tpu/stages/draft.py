@@ -429,8 +429,10 @@ def _align_ladder_pairs(pair_q, pair_t, band):
             todo.append(k)
     if todo:
         if jax.default_backend() == "cpu":
-            for k in todo:
-                rows[k] = MY.align_full(pair_q[k], pair_t[k], band)
+            for k, r in zip(todo, MY.align_full_batch(
+                    [pair_q[k] for k in todo], [pair_t[k] for k in todo],
+                    band)):
+                rows[k] = r
         else:
             from hinge_tpu.ops.banded_align import align_batch_banded
 

@@ -158,3 +158,46 @@ def test_get_align_tags_vectorized_matches_scalar():
     np.testing.assert_array_equal(
         FV.get_align_tags(qrow, trow, 0, 0), _get_align_tags_scalar(qrow, trow, 0, 0)
     )
+
+
+class TestNativeMyersBatch:
+    """Native myers_align_batch must be byte-identical to the Python
+    align_full on every window (it is the same recurrence transcribed)."""
+
+    def test_matches_python_on_noisy_windows(self):
+        from hinge_tpu.native import get_lib
+        if get_lib() is None:
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        from hinge_tpu.ops.myers import align_full, align_full_batch
+
+        rng = np.random.default_rng(5)
+        qs, ts = [], []
+        for _ in range(60):
+            n = int(rng.integers(0, 130))
+            q = rng.integers(0, 4, n).astype(np.uint8)
+            t = q.copy()
+            # random edits
+            for _ in range(int(rng.integers(0, 12))):
+                if len(t) == 0:
+                    break
+                p = int(rng.integers(0, len(t)))
+                op = rng.integers(0, 3)
+                if op == 0:
+                    t[p] = (t[p] + 1) % 4
+                elif op == 1:
+                    t = np.delete(t, p)
+                else:
+                    t = np.insert(t, p, rng.integers(0, 4))
+            qs.append(q)
+            ts.append(t.astype(np.uint8))
+        # extremes: empty vs non-empty, both empty, fully divergent
+        qs += [np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+               np.zeros(50, np.uint8)]
+        ts += [np.arange(5, dtype=np.uint8) % 4, np.zeros(0, np.uint8),
+               np.full(50, 3, np.uint8)]
+        batch = align_full_batch(qs, ts)
+        for (qr_n, tr_n), q, t in zip(batch, qs, ts):
+            qr_p, tr_p = align_full(q, t)
+            np.testing.assert_array_equal(qr_n, qr_p)
+            np.testing.assert_array_equal(tr_n, tr_p)
