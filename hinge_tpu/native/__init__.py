@@ -65,7 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "map_block_hits"):
             lib.map_block_hits.restype = c.c_int64
         for fn in ("minimizers_batch", "index_sort_filter", "emit_records",
-                   "myers_align_batch"):
+                   "myers_align_batch", "falcon_cns_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
         _lib = lib

@@ -1071,3 +1071,210 @@ int64_t myers_align_batch(const uint8_t* q, const int64_t* q_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched FALCON align-tag consensus — native transcription of
+// hinge_tpu/ops/falcon_vote.py:get_cns_from_align_tags (itself the model of
+// the reference's vendored src/lib/falcon.c get_cns_from_align_tags,
+// falcon.c:270-520).  Tag rows are encoded into one 64-bit key whose field
+// order matches the Python path's lexsort (t_pos, delta, q_base, p_q_base,
+// p_delta, p_t_pos), sorted, and run-length-counted; the link DP then runs
+// over the unique rows in that exact order, so scores, tie-breaking, and
+// the backtracked consensus are byte-identical to the numpy path.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+namespace {
+
+constexpr int64_t kCnsMaxTPos = (1LL << 21) - 2;
+
+struct CnsScratch {
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> cov;
+  std::vector<uint64_t> ukey;
+  std::vector<int64_t> ucnt;
+  std::vector<uint64_t> colkey;   // (tp<<11)|(dl<<3)|qb per unique column
+  std::vector<int64_t> colstart;  // index into ukey of each column's first row
+  std::vector<double> colscore;
+  std::vector<int32_t> bl_pi, bl_pj, bl_pb;
+  std::vector<uint8_t> bl_none;
+};
+
+// One window.  rows = (n,6) int32 tag rows; writes consensus codes + low
+// mask (cap 2*tlen) and the emitted length, or -1 when the window needs the
+// Python fallback (t_pos out of key range).
+void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
+             uint8_t* seq, uint8_t* low, int64_t* out_len, CnsScratch& s) {
+  *out_len = 0;
+  if (n == 0) return;
+  if (tlen <= 0 || tlen > kCnsMaxTPos) {
+    *out_len = -1;
+    return;
+  }
+  s.cov.assign(static_cast<size_t>(tlen), 0);
+  s.keys.resize(static_cast<size_t>(n));
+  for (int64_t r = 0; r < n; r++) {
+    const int32_t* t = rows + 6 * r;
+    const int64_t tp = t[0], dl = t[1], pt = t[2], pdl = t[3];
+    const int64_t pqb = t[4] > 4 ? 4 : t[4];
+    const int64_t qb = t[5] > 4 ? 4 : t[5];
+    if (tp < 0 || tp > kCnsMaxTPos || dl > 255 || pdl > 255 || pt < -1) {
+      *out_len = -1;
+      return;
+    }
+    if (dl == 0 && tp < tlen) s.cov[static_cast<size_t>(tp)]++;
+    s.keys[static_cast<size_t>(r)] =
+        (static_cast<uint64_t>(tp) << 43) | (static_cast<uint64_t>(dl) << 35) |
+        (static_cast<uint64_t>(qb) << 32) | (static_cast<uint64_t>(pqb) << 29) |
+        (static_cast<uint64_t>(pdl) << 21) | static_cast<uint64_t>(pt + 1);
+  }
+  std::sort(s.keys.begin(), s.keys.end());
+  // run-length unique + counts; column boundaries on key>>32 = (tp,dl,qb)
+  s.ukey.clear();
+  s.ucnt.clear();
+  s.colkey.clear();
+  s.colstart.clear();
+  for (int64_t r = 0; r < n;) {
+    const uint64_t k = s.keys[static_cast<size_t>(r)];
+    int64_t e = r + 1;
+    while (e < n && s.keys[static_cast<size_t>(e)] == k) e++;
+    if (s.ukey.empty() || (s.ukey.back() >> 32) != (k >> 32)) {
+      const uint64_t tp = k >> 43, dl = (k >> 35) & 0xFF, qb = (k >> 32) & 7;
+      s.colkey.push_back((tp << 11) | (dl << 3) | qb);
+      s.colstart.push_back(static_cast<int64_t>(s.ukey.size()));
+    }
+    s.ukey.push_back(k);
+    s.ucnt.push_back(e - r);
+    r = e;
+  }
+  const int64_t n_cols = static_cast<int64_t>(s.colkey.size());
+  s.colstart.push_back(static_cast<int64_t>(s.ukey.size()));
+  s.colscore.assign(static_cast<size_t>(n_cols), 0.0);
+  s.bl_pi.assign(static_cast<size_t>(n_cols), 0);
+  s.bl_pj.assign(static_cast<size_t>(n_cols), 0);
+  s.bl_pb.assign(static_cast<size_t>(n_cols), 0);
+  s.bl_none.assign(static_cast<size_t>(n_cols), 1);
+
+  double g_best_score = -1.0;
+  int64_t g_best_col = -1;
+  for (int64_t c = 0; c < n_cols; c++) {
+    const int64_t tp = static_cast<int64_t>(s.colkey[static_cast<size_t>(c)] >> 11);
+    const double covh = tp < tlen ? s.cov[static_cast<size_t>(tp)] * 0.5 : 0.0;
+    double best_score = -1.0;
+    bool have = false;
+    for (int64_t u = s.colstart[static_cast<size_t>(c)];
+         u < s.colstart[static_cast<size_t>(c + 1)]; u++) {
+      const uint64_t k = s.ukey[static_cast<size_t>(u)];
+      const int64_t pi = static_cast<int64_t>(k & 0x1FFFFF) - 1;
+      const int64_t pj = (k >> 21) & 0xFF;
+      const int64_t pb = (k >> 29) & 7;
+      const double cnt = static_cast<double>(s.ucnt[static_cast<size_t>(u)]);
+      double score;
+      if (pi == -1) {
+        score = cnt - covh;
+      } else {
+        // scores.get((pi,pj,pb), 0.0): processed (strictly earlier) columns
+        // only — binary search the full column list, 0.0 when absent or not
+        // yet scored (a column never links forward, but match the dict)
+        const uint64_t lk = (static_cast<uint64_t>(pi) << 11) |
+                            (static_cast<uint64_t>(pj) << 3) |
+                            static_cast<uint64_t>(pb);
+        const auto it =
+            std::lower_bound(s.colkey.begin(), s.colkey.end(), lk);
+        double prev = 0.0;
+        if (it != s.colkey.end() && *it == lk) {
+          const int64_t ci = it - s.colkey.begin();
+          if (ci < c) prev = s.colscore[static_cast<size_t>(ci)];
+        }
+        score = prev + cnt - covh;
+      }
+      if (score > best_score) {
+        best_score = score;
+        s.bl_pi[static_cast<size_t>(c)] = static_cast<int32_t>(pi);
+        s.bl_pj[static_cast<size_t>(c)] = static_cast<int32_t>(pj);
+        s.bl_pb[static_cast<size_t>(c)] = static_cast<int32_t>(pb);
+        have = true;
+      }
+    }
+    s.colscore[static_cast<size_t>(c)] = best_score;
+    s.bl_none[static_cast<size_t>(c)] = have ? 0 : 1;
+    if (best_score > g_best_score) {
+      g_best_score = best_score;
+      g_best_col = c;
+    }
+  }
+  if (g_best_col < 0) return;
+
+  // backtrack (falcon_vote.py:167-181): emit the column's base only when a
+  // valid (non-sentinel) predecessor exists, then step to it by key lookup
+  int64_t len = 0;
+  int64_t cur = g_best_col;
+  const int64_t cap = 2 * tlen;
+  // step cap: valid tag chains are strictly decreasing in (t_pos, delta),
+  // so at most n_cols steps; degenerate inputs (gap-gap columns can
+  // self-link) would loop forever — in the Python path too — so bail out
+  int64_t steps = 0;
+  while (true) {
+    if (s.bl_none[static_cast<size_t>(cur)] ||
+        s.bl_pi[static_cast<size_t>(cur)] == -1 || len >= cap ||
+        ++steps > n_cols + 1)
+      break;
+    const uint64_t ck = s.colkey[static_cast<size_t>(cur)];
+    const int64_t bb = static_cast<int64_t>(ck & 7);
+    const int64_t tp = static_cast<int64_t>(ck >> 11);
+    if (bb != 4) {
+      seq[len] = static_cast<uint8_t>(bb);
+      low[len] = (tp < tlen && s.cov[static_cast<size_t>(tp)] <= mincov) ? 1 : 0;
+      len++;
+    }
+    const uint64_t lk =
+        (static_cast<uint64_t>(s.bl_pi[static_cast<size_t>(cur)]) << 11) |
+        (static_cast<uint64_t>(s.bl_pj[static_cast<size_t>(cur)]) << 3) |
+        static_cast<uint64_t>(s.bl_pb[static_cast<size_t>(cur)]);
+    const auto it = std::lower_bound(s.colkey.begin(), s.colkey.end(), lk);
+    if (it == s.colkey.end() || *it != lk) break;
+    cur = it - s.colkey.begin();
+  }
+  std::reverse(seq, seq + len);
+  std::reverse(low, low + len);
+  *out_len = len;
+}
+
+}  // namespace
+
+// Batch over windows: tags = concatenated (N,6) int32 rows, win_off (B+1)
+// row offsets, per-window t_len/min_cov.  Consensus codes and the
+// low-coverage mask are written at out_off[i] (caller sizes the buffers as
+// cumsum(2*t_len)); out_len[i] = emitted length, or -1 when that window
+// must take the Python fallback.  Windows run on n_threads workers.
+int64_t falcon_cns_batch(const int32_t* tags, const int64_t* win_off,
+                         const int64_t* t_len, const int64_t* min_cov,
+                         int64_t B, const int64_t* out_off, uint8_t* out_seq,
+                         uint8_t* out_low, int64_t* out_len,
+                         int32_t n_threads) {
+  if (B <= 0) return 0;
+  int64_t nt = n_threads > 0 ? n_threads : 1;
+  if (nt > B) nt = B;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    CnsScratch scratch;
+    while (true) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= B) break;
+      cns_one(tags + 6 * win_off[i], win_off[i + 1] - win_off[i], t_len[i],
+              min_cov[i], out_seq + out_off[i], out_low + out_off[i],
+              out_len + i, scratch);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -17,6 +17,7 @@ Inputs are uint8 code rows (0..3 bases, 4 = gap) from hinge_tpu.ops.myers.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -108,11 +109,10 @@ def get_cns_from_align_tags(
     them) instead of every raw tag. Semantics identical to
     get_cns_from_align_tags_ref (falcon.c:270-520), tested equal.
     """
-    if not tag_seqs:
+    nonempty = [t for t in tag_seqs if len(t)]
+    if not nonempty:
         return np.zeros(0, np.uint8), np.zeros(0, bool)
-    allt = np.concatenate([t for t in tag_seqs if len(t)], axis=0)
-    if len(allt) == 0:
-        return np.zeros(0, np.uint8), np.zeros(0, bool)
+    allt = np.concatenate(nonempty, axis=0)
     # coverage: delta==0 rows per t_pos
     coverage = np.zeros(t_len, dtype=np.int64)
     d0 = allt[allt[:, 1] == 0, 0]
@@ -179,6 +179,82 @@ def get_cns_from_align_tags(
     seq.reverse()
     low.reverse()
     return np.array(seq, dtype=np.uint8), np.array(low, dtype=bool)
+
+
+def get_cns_batch(
+    tag_windows: List[np.ndarray], t_lens, min_covs
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Batched get_cns_from_align_tags over independent windows.
+
+    tag_windows[i] is one (N_i, 6) int32 array — that window's tag sequences
+    already concatenated (sequence boundaries are irrelevant to the column
+    DP).  Uses the native C core (io_native.cpp:falcon_cns_batch) when
+    available, windows it rejects (or everything, without a toolchain) fall
+    back to the per-window numpy path.  Outputs byte-identical either way.
+    """
+    B = len(tag_windows)
+    if B == 0:
+        return []
+    t_lens = np.asarray(t_lens, dtype=np.int64)
+    min_covs = np.asarray(min_covs, dtype=np.int64)
+    out: List = [None] * B
+    lens = _native_cns_batch(tag_windows, t_lens, min_covs, out)
+    for i in range(B):
+        if out[i] is None:
+            out[i] = get_cns_from_align_tags(
+                [tag_windows[i]], int(t_lens[i]), int(min_covs[i])
+            )
+    return out
+
+
+def _native_cns_batch(tag_windows, t_lens, min_covs, out) -> bool:
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "falcon_cns_batch"):
+        return False
+    B = len(tag_windows)
+    win_off = np.zeros(B + 1, dtype=np.int64)
+    for i, tw in enumerate(tag_windows):
+        win_off[i + 1] = win_off[i] + len(tw)
+    flat = (
+        np.concatenate([np.ascontiguousarray(t, dtype=np.int32).reshape(-1, 6)
+                        for t in tag_windows if len(t)])
+        if win_off[-1] else np.zeros((0, 6), np.int32)
+    )
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    caps = 2 * t_lens
+    out_off = np.zeros(B, dtype=np.int64)
+    np.cumsum(caps[:-1], out=out_off[1:])
+    total = int(caps.sum())
+    out_seq = np.zeros(max(total, 1), dtype=np.uint8)
+    out_low = np.zeros(max(total, 1), dtype=np.uint8)
+    out_len = np.zeros(B, dtype=np.int64)
+    c = ctypes
+    r = lib.falcon_cns_batch(
+        flat.ctypes.data_as(c.POINTER(c.c_int32)),
+        win_off.ctypes.data_as(c.POINTER(c.c_int64)),
+        t_lens.ctypes.data_as(c.POINTER(c.c_int64)),
+        min_covs.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.c_int64(B),
+        out_off.ctypes.data_as(c.POINTER(c.c_int64)),
+        out_seq.ctypes.data_as(c.POINTER(c.c_uint8)),
+        out_low.ctypes.data_as(c.POINTER(c.c_uint8)),
+        out_len.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.c_int32(os.cpu_count() or 1),
+    )
+    if r != 0:
+        return False
+    for i in range(B):
+        n = int(out_len[i])
+        if n < 0:
+            continue  # python fallback fills it
+        o = int(out_off[i])
+        out[i] = (out_seq[o : o + n].copy(),
+                  out_low[o : o + n].astype(bool))
+    return True
 
 
 def get_cns_from_align_tags_ref(

@@ -373,6 +373,31 @@ def draft_assembly_ctg(
         zip(pair_owner, pair_rows)
     )
 
+    # FALCON vote: gather every multi-segment ladder's tags, then one batched
+    # consensus call (native C core over all windows; falcon.c:270-520)
+    win_tags: List[np.ndarray] = []
+    win_tlen: List[int] = []
+    win_of: List[int] = []
+    for li, ladder in enumerate(ladders):
+        if len(ladder) <= 1:
+            continue
+        mx = templates[li]
+        t_rd, t_s, t_e = ladder[mx]
+        tags_list = []
+        for j in range(len(ladder)):
+            qrow, trow = rows_of[(li, j)]
+            # sentinel column (draft.cpp:652-659: 'T' prepended to both rows)
+            qrow = np.concatenate([[np.uint8(3)], qrow])
+            trow = np.concatenate([[np.uint8(3)], trow])
+            tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
+        win_tags.append(
+            np.concatenate(tags_list) if tags_list else np.zeros((0, 6), np.int32)
+        )
+        win_tlen.append((t_e - t_s) + 1)
+        win_of.append(li)
+    cns_results = FV.get_cns_batch(win_tags, win_tlen, [1] * len(win_tags))
+    cns_of = dict(zip(win_of, cns_results))
+
     draft_chunks: List[np.ndarray] = []
     low_chunks: List[np.ndarray] = []
     for li, ladder in enumerate(ladders):
@@ -383,17 +408,7 @@ def draft_assembly_ctg(
             draft_chunks.append(breads[rd][s:e])
             low_chunks.append(np.zeros(max(e - s, 0), bool))
             continue
-        mx = templates[li]
-        t_rd, t_s, t_e = ladder[mx]
-        alen_t = t_e - t_s
-        tags_list = []
-        for j in range(len(ladder)):
-            qrow, trow = rows_of[(li, j)]
-            # sentinel column (draft.cpp:652-659: 'T' prepended to both rows)
-            qrow = np.concatenate([[np.uint8(3)], qrow])
-            trow = np.concatenate([[np.uint8(3)], trow])
-            tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
-        cns, low = FV.get_cns_from_align_tags(tags_list, alen_t + 1, 1)
+        cns, low = cns_of[li]
         draft_chunks.append(cns)
         low_chunks.append(low)
 

@@ -139,6 +139,50 @@ def test_falcon_fast_matches_reference():
         np.testing.assert_array_equal(lowf, lowr)
 
 
+def test_falcon_cns_batch_matches_per_window():
+    """Native batched consensus (io_native.cpp:falcon_cns_batch) vs the
+    per-window numpy path — byte-identical over realistic aligned windows
+    AND adversarial random tag streams (including tp beyond t_len, where
+    the covh guard applies)."""
+    rng = np.random.default_rng(23)
+    wins, tls, mcs = [], [], []
+    # realistic windows: mutated reads aligned to a template
+    for trial in range(6):
+        template = rng.integers(0, 4, int(rng.integers(80, 400))).astype(np.uint8)
+        tags_list = []
+        for j in range(int(rng.integers(2, 9))):
+            q = _mutate(rng, template, 0.05, 0.02, 0.02)
+            a = MY.align_pair(q, template, band_tolerance=150)
+            qrow = np.concatenate([[np.uint8(3)], a.q_aln])
+            trow = np.concatenate([[np.uint8(3)], a.t_aln])
+            tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
+        wins.append(np.concatenate(tags_list))
+        tls.append(len(template) + 1)
+        mcs.append(1)
+    # adversarial: random rows (no gap-gap columns — those self-link)
+    for trial in range(40):
+        tlen = int(rng.integers(3, 120))
+        tags_list = []
+        for s in range(int(rng.integers(1, 6))):
+            L = int(rng.integers(1, 3 * tlen))
+            qrow = rng.integers(0, 5, L).astype(np.uint8)
+            trow = rng.integers(0, 5, L).astype(np.uint8)
+            both = (qrow == 4) & (trow == 4)
+            qrow[both] = rng.integers(0, 4, int(both.sum())).astype(np.uint8)
+            tags_list.append(FV.get_align_tags(qrow, trow, s, 0))
+        allt = (np.concatenate([t for t in tags_list if len(t)])
+                if any(len(t) for t in tags_list)
+                else np.zeros((0, 6), np.int32))
+        wins.append(allt)
+        tls.append(tlen)
+        mcs.append(int(rng.integers(0, 4)))
+    batch = FV.get_cns_batch(wins, tls, mcs)
+    for i, (seq_b, low_b) in enumerate(batch):
+        seq_p, low_p = FV.get_cns_from_align_tags([wins[i]], tls[i], mcs[i])
+        np.testing.assert_array_equal(seq_b, seq_p, err_msg=f"window {i}")
+        np.testing.assert_array_equal(low_b, low_p, err_msg=f"window {i}")
+
+
 def test_get_align_tags_vectorized_matches_scalar():
     from hinge_tpu.ops.falcon_vote import _get_align_tags_scalar
 
