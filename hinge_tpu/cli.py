@@ -212,9 +212,17 @@ def cmd_consensus(args):
     cfg = Config.from_ini(args.config) if args.config else nominal_config()
     contigs = [(contigs_rs.names[i], contigs_rs.get_seq(i)) for i in range(contigs_rs.n_reads)]
     aln = read_las(args.las, read_lengths=None)
-    # fill lengths: A = contigs, B = reads
+    # fill lengths: A = contigs, B = reads.  The 2-DB las indexes two id
+    # spaces, so the reader ran without lengths and derived rc rows'
+    # forward-strand b coords with b_len = 0 (b_start = -be_frame,
+    # b_end = -bb_frame); shifting by the true b_len completes the
+    # complement-frame -> forward conversion.
     aln.a_len = contigs_rs.length[aln.a_id].astype(np.int32)
-    aln.b_len = rs.length[aln.b_id].astype(np.int32)
+    blen = rs.length[aln.b_id].astype(np.int32)
+    aln.b_len = blen
+    rcm = aln.rc == 1
+    aln.b_start = np.where(rcm, blen + aln.b_start, aln.b_start).astype(aln.b_start.dtype)
+    aln.b_end = np.where(rcm, blen + aln.b_end, aln.b_end).astype(aln.b_end.dtype)
     res = run_consensus(contigs, rs, aln, cfg, out_fasta=args.out)
     print(f"[consensus] {len(res)} contigs -> {args.out}")
 

@@ -15,6 +15,7 @@ from typing import Optional
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "io_native.cpp")
+_SRC2 = os.path.join(_HERE, "dalign_np.cpp")
 _BUILD_DIR = os.path.join(_HERE, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libhinge_io.so")
 _lock = threading.Lock()
@@ -26,7 +27,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, _SRC2, "-o", _LIB_PATH,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -44,7 +45,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            os.path.getmtime(_LIB_PATH)
+            < max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
         ):
             if not _build():
                 return None
@@ -68,5 +70,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "myers_align_batch", "falcon_cns_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
+        if hasattr(lib, "dalign_rows_batch"):
+            lib.dalign_rows_batch.restype = c.c_int
         _lib = lib
         return _lib

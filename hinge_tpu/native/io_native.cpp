@@ -880,12 +880,15 @@ struct DPathEntry {
 
 constexpr uint8_t kGap = 4;
 
-// Aligns one window; writes align_full-style rows (columns consuming all of
-// q and t) into qr/tr.  Returns the row length, with *ok = 0 for the
-// degenerate not-aligned fallback (q then t in disjoint columns).
+// Aligns one window.  pad_full != 0: align_full-style rows (leading/trailing
+// pads so every base of q and t appears; not-aligned -> disjoint fallback).
+// pad_full == 0: EXACT DW_banded.c:_align rows — only the aligned core, no
+// pads, not-aligned -> empty rows (the reference returns aln_str_size = 0).
+// *ok = 0 marks not-aligned.
 int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
                   int32_t band_tolerance, uint8_t* qr, uint8_t* tr,
-                  int32_t* ok, DPathEntry* d_path, int64_t* V, int64_t* U) {
+                  int32_t* ok, DPathEntry* d_path, int64_t* V, int64_t* U,
+                  int32_t pad_full) {
   *ok = 1;
   if (m == 0 && n == 0) return 0;
   const int64_t max_d = static_cast<int64_t>(0.3 * static_cast<double>(m + n));
@@ -948,6 +951,7 @@ int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
   int64_t L = 0;
   if (!aligned) {
     *ok = 0;
+    if (!pad_full) return 0;
     for (int64_t i = 0; i < m; i++) {
       qr[L] = q[i];
       tr[L] = kGap;
@@ -983,7 +987,7 @@ int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
   int64_t cx = px(0), cy = py(0);
   const int64_t q_s = cx, t_s = cy;
   // leading skipped prefix (align_full)
-  if (q_s || t_s) {
+  if (pad_full && (q_s || t_s)) {
     for (int64_t i = 0; i < q_s; i++) {
       qr[L] = q[i];
       tr[L] = kGap;
@@ -1021,6 +1025,7 @@ int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
     cy = ny;
   }
   // trailing pads (align_full): q_e = x, t_e = y
+  if (!pad_full) return L;
   if (x < m) {
     for (int64_t i = x; i < m; i++) {
       qr[L] = q[i];
@@ -1048,7 +1053,8 @@ int64_t myers_one(const uint8_t* q, int64_t m, const uint8_t* t, int64_t n,
 int64_t myers_align_batch(const uint8_t* q, const int64_t* q_off,
                           const uint8_t* t, const int64_t* t_off, int64_t B,
                           int32_t band_tolerance, uint8_t* q_rows,
-                          uint8_t* t_rows, int64_t* row_off, int32_t* ok) {
+                          uint8_t* t_rows, int64_t* row_off, int32_t* ok,
+                          int32_t pad_full) {
   int64_t max_mn = 0;
   for (int64_t i = 0; i < B; i++) {
     const int64_t mn =
@@ -1064,7 +1070,8 @@ int64_t myers_align_batch(const uint8_t* q, const int64_t* q_off,
     const int64_t L = myers_one(
         q + q_off[i], q_off[i + 1] - q_off[i], t + t_off[i],
         t_off[i + 1] - t_off[i], band_tolerance, q_rows + row_off[i],
-        t_rows + row_off[i], ok + i, d_path.data(), V.data(), U.data());
+        t_rows + row_off[i], ok + i, d_path.data(), V.data(), U.data(),
+        pad_full);
     row_off[i + 1] = row_off[i] + L;
   }
   return row_off[B];
@@ -1090,14 +1097,16 @@ namespace {
 constexpr int64_t kCnsMaxTPos = (1LL << 21) - 2;
 
 struct CnsScratch {
-  std::vector<uint64_t> keys;
+  std::vector<std::pair<uint64_t, int64_t>> keys;  // (key, stream index)
   std::vector<int64_t> cov;
   std::vector<uint64_t> ukey;
   std::vector<int64_t> ucnt;
+  std::vector<int64_t> ufirst;    // first stream index of each unique link
   std::vector<uint64_t> colkey;   // (tp<<11)|(dl<<3)|qb per unique column
   std::vector<int64_t> colstart;  // index into ukey of each column's first row
+  std::vector<int64_t> lorder;    // per-column link order (by first index)
   std::vector<double> colscore;
-  std::vector<int32_t> bl_pi, bl_pj, bl_pb;
+  std::vector<int32_t> bl_pi, bl_pj, bl_pb, bl_ck;
   std::vector<uint8_t> bl_none;
 };
 
@@ -1119,26 +1128,31 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
     const int64_t tp = t[0], dl = t[1], pt = t[2], pdl = t[3];
     const int64_t pqb = t[4] > 4 ? 4 : t[4];
     const int64_t qb = t[5] > 4 ? 4 : t[5];
-    if (tp < 0 || tp > kCnsMaxTPos || dl > 255 || pdl > 255 || pt < -1) {
+    if (tp < 0 || tp > kCnsMaxTPos || dl > 255 || pdl > 255 || pt < -1 ||
+        pt > kCnsMaxTPos) {
       *out_len = -1;
       return;
     }
     if (dl == 0 && tp < tlen) s.cov[static_cast<size_t>(tp)]++;
-    s.keys[static_cast<size_t>(r)] =
+    s.keys[static_cast<size_t>(r)] = {
         (static_cast<uint64_t>(tp) << 43) | (static_cast<uint64_t>(dl) << 35) |
-        (static_cast<uint64_t>(qb) << 32) | (static_cast<uint64_t>(pqb) << 29) |
-        (static_cast<uint64_t>(pdl) << 21) | static_cast<uint64_t>(pt + 1);
+            (static_cast<uint64_t>(qb) << 32) |
+            (static_cast<uint64_t>(pqb) << 29) |
+            (static_cast<uint64_t>(pdl) << 21) | static_cast<uint64_t>(pt + 1),
+        r};
   }
   std::sort(s.keys.begin(), s.keys.end());
-  // run-length unique + counts; column boundaries on key>>32 = (tp,dl,qb)
+  // run-length unique + counts + first stream index; column boundaries on
+  // key>>32 = (tp,dl,qb)
   s.ukey.clear();
   s.ucnt.clear();
+  s.ufirst.clear();
   s.colkey.clear();
   s.colstart.clear();
   for (int64_t r = 0; r < n;) {
-    const uint64_t k = s.keys[static_cast<size_t>(r)];
+    const uint64_t k = s.keys[static_cast<size_t>(r)].first;
     int64_t e = r + 1;
-    while (e < n && s.keys[static_cast<size_t>(e)] == k) e++;
+    while (e < n && s.keys[static_cast<size_t>(e)].first == k) e++;
     if (s.ukey.empty() || (s.ukey.back() >> 32) != (k >> 32)) {
       const uint64_t tp = k >> 43, dl = (k >> 35) & 0xFF, qb = (k >> 32) & 7;
       s.colkey.push_back((tp << 11) | (dl << 3) | qb);
@@ -1146,6 +1160,7 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
     }
     s.ukey.push_back(k);
     s.ucnt.push_back(e - r);
+    s.ufirst.push_back(s.keys[static_cast<size_t>(r)].second);
     r = e;
   }
   const int64_t n_cols = static_cast<int64_t>(s.colkey.size());
@@ -1154,6 +1169,7 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
   s.bl_pi.assign(static_cast<size_t>(n_cols), 0);
   s.bl_pj.assign(static_cast<size_t>(n_cols), 0);
   s.bl_pb.assign(static_cast<size_t>(n_cols), 0);
+  s.bl_ck.assign(static_cast<size_t>(n_cols), -1);
   s.bl_none.assign(static_cast<size_t>(n_cols), 1);
 
   double g_best_score = -1.0;
@@ -1163,8 +1179,17 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
     const double covh = tp < tlen ? s.cov[static_cast<size_t>(tp)] * 0.5 : 0.0;
     double best_score = -1.0;
     bool have = false;
-    for (int64_t u = s.colstart[static_cast<size_t>(c)];
-         u < s.colstart[static_cast<size_t>(c + 1)]; u++) {
+    // links must be visited in update_col append order = first stream
+    // appearance (falcon.c:192-225): equal-score ties keep the earliest
+    const int64_t cs = s.colstart[static_cast<size_t>(c)];
+    const int64_t ce = s.colstart[static_cast<size_t>(c + 1)];
+    s.lorder.resize(static_cast<size_t>(ce - cs));
+    for (int64_t u = cs; u < ce; u++) s.lorder[static_cast<size_t>(u - cs)] = u;
+    std::sort(s.lorder.begin(), s.lorder.end(), [&](int64_t x, int64_t y) {
+      return s.ufirst[static_cast<size_t>(x)] < s.ufirst[static_cast<size_t>(y)];
+    });
+    for (int64_t ck = 0; ck < ce - cs; ck++) {
+      const int64_t u = s.lorder[static_cast<size_t>(ck)];
       const uint64_t k = s.ukey[static_cast<size_t>(u)];
       const int64_t pi = static_cast<int64_t>(k & 0x1FFFFF) - 1;
       const int64_t pj = (k >> 21) & 0xFF;
@@ -1174,15 +1199,14 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
       if (pi == -1) {
         score = cnt - covh;
       } else {
-        // scores.get((pi,pj,pb), 0.0): processed (strictly earlier) columns
-        // only — binary search the full column list, 0.0 when absent or not
-        // yet scored (a column never links forward, but match the dict)
+        // falcon.c:405: predecessor column's score; untouched columns keep
+        // -1 (falcon.c:426 leaves best_score = -1 in them)
         const uint64_t lk = (static_cast<uint64_t>(pi) << 11) |
                             (static_cast<uint64_t>(pj) << 3) |
                             static_cast<uint64_t>(pb);
         const auto it =
             std::lower_bound(s.colkey.begin(), s.colkey.end(), lk);
-        double prev = 0.0;
+        double prev = -1.0;
         if (it != s.colkey.end() && *it == lk) {
           const int64_t ci = it - s.colkey.begin();
           if (ci < c) prev = s.colscore[static_cast<size_t>(ci)];
@@ -1194,6 +1218,7 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
         s.bl_pi[static_cast<size_t>(c)] = static_cast<int32_t>(pi);
         s.bl_pj[static_cast<size_t>(c)] = static_cast<int32_t>(pj);
         s.bl_pb[static_cast<size_t>(c)] = static_cast<int32_t>(pb);
+        s.bl_ck[static_cast<size_t>(c)] = static_cast<int32_t>(ck);
         have = true;
       }
     }
@@ -1206,11 +1231,17 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
   }
   if (g_best_col < 0) return;
 
-  // backtrack (falcon_vote.py:167-181): emit the column's base only when a
-  // valid (non-sentinel) predecessor exists, then step to it by key lookup
+  // backtrack (falcon.c:442-500): emit the column's base only when a valid
+  // (non-sentinel) predecessor exists, then step to it by key lookup.
+  // Reference quirk (falcon.c:456-460): the FIRST emitted base is the best
+  // column's best link INDEX read as a base code (4 -> '-' dropped, >4 ->
+  // '$', encoded here as code 5).
   int64_t len = 0;
   int64_t cur = g_best_col;
   const int64_t cap = 2 * tlen;
+  const int32_t ck0 = s.bl_ck[static_cast<size_t>(g_best_col)];
+  int64_t first_bb = ck0 <= 4 ? ck0 : 5;
+  bool first = true;
   // step cap: valid tag chains are strictly decreasing in (t_pos, delta),
   // so at most n_cols steps; degenerate inputs (gap-gap columns can
   // self-link) would loop forever — in the Python path too — so bail out
@@ -1221,7 +1252,8 @@ void cns_one(const int32_t* rows, int64_t n, int64_t tlen, int64_t mincov,
         ++steps > n_cols + 1)
       break;
     const uint64_t ck = s.colkey[static_cast<size_t>(cur)];
-    const int64_t bb = static_cast<int64_t>(ck & 7);
+    const int64_t bb = first ? first_bb : static_cast<int64_t>(ck & 7);
+    first = false;
     const int64_t tp = static_cast<int64_t>(ck >> 11);
     if (bb != 4) {
       seq[len] = static_cast<uint8_t>(bb);

@@ -1,0 +1,457 @@
+"""Exact DALIGNER trace-window alignment (recoverAlignment parity).
+
+The reference recovers full alignments from trace points by running a
+private O(nd) wavefront aligner inside every trace-point window
+(LAInterface::computeTracePTS -> iter_np, LAInterface.cpp:3410/3152) and
+then emitting padded alignment strings (getAlignmentTags,
+LAInterface.cpp:3709-3915).  Byte parity of X.draft.fasta/X.consensus.fasta
+requires reproducing that specific optimal path — its wave move preference
+and "uppermost" traceback normalization — not just any minimal-edit path.
+
+Context: the wave's diagonal slides can read one byte BEFORE a window
+(frontier diagonals enter the slide at j=-1) and the traceback one byte past
+its end.  The reference aligns inside Load_Subread buffers spanning
+[abpos-10, aepos+10) with 4-sentinels on both sides (DB.c:1449-1459,
+recoverAlignment LAInterface.cpp:4183-4205), so this module builds the same
+padded context per alignment and aligns windows at offsets into it.
+
+Provides:
+  - align_overlap_rows(...): exact full rows for one overlap (all windows).
+  - iter_np_script / script_to_rows: pure-Python transcription (oracle +
+    fallback when the native kernel is unavailable).
+
+Row convention: base codes 0..3, gap code 4 (the reference uses 7 -> '-').
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+GAP = np.uint8(4)
+BORDER = 10  # recoverAlignment's subread border (LAInterface.cpp:4149)
+_OOB = 0x7F  # below-context reads: never equal (reference reads malloc junk)
+
+
+def make_context(seq: np.ndarray, start: int, end: int) -> Tuple[np.ndarray, int, int]:
+    """Load_Subread-equivalent context for a match span [start, end):
+    bases [max(start-10,0), min(end+10,len)) framed by 4-sentinels.
+
+    Returns (ctx bytes, index of position `start` in ctx, lowest represented
+    position's ctx index == 1 ... i.e. (ctx, off0, amin) where ctx[off0]
+    corresponds to seq[start] and ctx[0] is the sentinel at amin-1)."""
+    amin = max(start - BORDER, 0)
+    amax = min(end + BORDER, len(seq))
+    ctx = np.empty(amax - amin + 2, dtype=np.uint8)
+    ctx[0] = 4
+    ctx[1:-1] = seq[amin:amax]
+    ctx[-1] = 4
+    return ctx, start - amin + 1, amin
+
+
+def window_bounds(a_start: int, a_end: int, b_start: int, b_end: int,
+                  trace_pairs: np.ndarray, tspace: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-window [bound_i, bound_i+1) coordinates along A and B
+    (computeTracePTS' loop, LAInterface.cpp:3479-3502)."""
+    interior = np.arange((a_start // tspace + 1) * tspace, a_end, tspace,
+                         dtype=np.int64)
+    a_bounds = np.concatenate([[a_start], interior, [a_end]])
+    b_bounds = np.empty(len(a_bounds), dtype=np.int64)
+    b_bounds[0] = b_start
+    if len(a_bounds) > 2:
+        b_bounds[1:-1] = b_start + np.cumsum(
+            trace_pairs[: len(a_bounds) - 2, 1].astype(np.int64))
+    b_bounds[-1] = b_end
+    return a_bounds, b_bounds
+
+
+def iter_np_script(ctx_a: np.ndarray, off_a: int, M: int,
+                   ctx_b: np.ndarray, off_b: int, N: int) -> List[int]:
+    """Pure-Python transcription of the wave (LAInterface.cpp:3152-3407),
+    window-local: returns signed 1-based script entries (+p insertion in B
+    at B position p; -p deletion at A position p)."""
+    if M == 0 and N == 0:
+        return []
+    dele = M - N
+
+    def A(x):
+        xi = off_a + x
+        return int(ctx_a[xi]) if xi >= 0 else _OOB
+
+    def B(x):
+        return int(ctx_b[off_b + x])
+
+    koff = N + 2
+    span = M + N + 6
+    rows = M + N + 4
+    PVF = np.zeros((rows, span), dtype=np.int64)
+    PHF = np.zeros((rows, span), dtype=np.int64)
+
+    def V(d):
+        return PVF[d + 2]
+
+    def H(d):
+        return PHF[d + 2]
+
+    if dele >= 0:
+        low, hgh = 0, dele
+    else:
+        low, hgh = dele, 0
+
+    F1 = V(-2)
+    F0 = V(-1)
+    for d in range(low - 1, hgh + 2):
+        F1[d + koff] = F0[d + koff] = -2
+    F0[0 + koff] = -1
+
+    low += 1
+    hgh -= 1
+
+    D = 0
+    while True:
+        F2 = F1
+        F1 = F0
+        F0 = V(D)
+        HF = H(D)
+
+        if (D & 1) == 0:
+            low -= 1
+            hgh += 1
+        F0[hgh + 1 + koff] = F0[low - 1 + koff] = -2
+
+        def fs_move(k, i, aoff, am, ap, mdir, pdir):
+            ac = int(F1[k + koff]) + 1
+            if ac < am:
+                if ap < am:
+                    HF[k + koff] = mdir
+                    j = am
+                else:
+                    HF[k + koff] = pdir
+                    j = ap
+            else:
+                if ap < ac:
+                    HF[k + koff] = 0
+                    j = ac
+                else:
+                    HF[k + koff] = pdir
+                    j = ap
+            lim = N if N < i else i
+            while j < lim and B(j) == A(aoff + j):
+                j += 1
+            F0[k + koff] = j
+            return j
+
+        j = -2
+        aoff = hgh
+        i = M - hgh
+        for k in range(hgh, dele, -1):
+            ap = j + 1
+            am = int(F2[k - 1 + koff])
+            j = fs_move(k, i, aoff, am, ap, -1, 4)
+            aoff -= 1
+            i += 1
+
+        j = -2
+        aoff = low
+        i = M - low
+        for k in range(low, dele):
+            ap = int(F2[k + 1 + koff]) + 1
+            am = j
+            j = fs_move(k, i, aoff, am, ap, 2, 1)
+            aoff += 1
+            i -= 1
+
+        ap = int(F0[dele + 1 + koff]) + 1
+        am = j
+        fs_move(dele, i, aoff, am, ap, 2, 4)
+
+        if F0[dele + koff] >= N:
+            break
+        D += 1
+
+    # uppermost traceback re-threading (LAInterface.cpp:3286-3351)
+    H(0)[0 + koff] = 3
+
+    c = N
+    k = dele
+    Dd = D
+    e = int(H(Dd)[k + koff])
+    H(Dd)[k + koff] = 3
+    while e != 3:
+        h = k + e
+        if e > 1:
+            h -= 3
+        elif e == 0:
+            Dd -= 1
+        else:
+            Dd -= 2
+        if h < k:
+            m = -k if k < 0 else 0
+            if V(Dd)[h + koff] <= c:
+                c = int(V(Dd)[h + koff]) - 1
+            while c >= m and A(k + c) == B(c):
+                c -= 1
+            if e < 1:
+                if c <= V(Dd + 2)[k + 1 + koff]:
+                    e = 4
+                    h = k + 1
+                    Dd = Dd + 2
+                elif c == V(Dd + 1)[k + koff]:
+                    e = 0
+                    h = k
+                    Dd = Dd + 1
+                else:
+                    V(Dd)[h + koff] = c + 1
+            else:
+                m = Dd if k == dele else Dd - 2
+                if c <= V(m)[k + 1 + koff]:
+                    e = 4 if k == dele else 1
+                    h = k + 1
+                    Dd = m
+                elif c == V(Dd - 1)[k + koff]:
+                    e = 0
+                    h = k
+                    Dd = Dd - 1
+                else:
+                    V(Dd)[h + koff] = c + 1
+        m = int(H(Dd)[h + koff])
+        H(Dd)[h + koff] = e
+        e = m
+        k = h
+
+    # forward walk emitting the script (LAInterface.cpp:3353-3374)
+    script: List[int] = []
+    k = Dd = 0
+    e = int(H(Dd)[k + koff])
+    while e != 3:
+        h = k - e
+        c = int(V(Dd)[k + koff])
+        if e > 1:
+            h += 3
+        elif e == 0:
+            Dd += 1
+        else:
+            Dd += 2
+        if h > k:
+            script.append(1 + c)
+        elif h < k:
+            script.append(-1 - (c + k))
+        k = h
+        e = int(H(Dd)[h + koff])
+    return script
+
+
+def script_to_rows(wa: np.ndarray, wb: np.ndarray,
+                   script: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """getAlignmentTags' column emission (LAInterface.cpp:3829-3871) for one
+    window-local script.  wa/wb are the window base slices."""
+    M = len(wa)
+    ra = np.empty(M + len(wb), dtype=np.uint8)
+    rb = np.empty(M + len(wb), dtype=np.uint8)
+    i = j = 1
+    o = 0
+    for p in script:
+        if p < 0:
+            p = -p
+            while i != p:
+                ra[o] = wa[i - 1]
+                rb[o] = wb[j - 1]
+                o += 1
+                i += 1
+                j += 1
+            ra[o] = GAP
+            rb[o] = wb[j - 1]
+            o += 1
+            j += 1
+        else:
+            while j != p:
+                ra[o] = wa[i - 1]
+                rb[o] = wb[j - 1]
+                o += 1
+                i += 1
+                j += 1
+            ra[o] = wa[i - 1]
+            rb[o] = GAP
+            o += 1
+            i += 1
+    while i <= M:
+        ra[o] = wa[i - 1]
+        rb[o] = wb[j - 1]
+        o += 1
+        i += 1
+        j += 1
+    return ra[:o].copy(), rb[:o].copy()
+
+
+class _WindowBatch:
+    """Accumulates windows (with their padded contexts) across many overlaps
+    and aligns them in one native call."""
+
+    def __init__(self):
+        self.ctx_a: List[np.ndarray] = []
+        self.ctx_b: List[np.ndarray] = []
+        self.a_ptr: List[int] = []
+        self.b_ptr: List[int] = []
+        self.a_len: List[int] = []
+        self.b_len: List[int] = []
+        self.a_avail: List[int] = []
+        self.b_avail: List[int] = []
+        self._abase = 0
+        self._bbase = 0
+        self.owner: List[int] = []
+
+    def add_overlap(self, owner: int, a_seq: np.ndarray, b_frame: np.ndarray,
+                    a_start: int, a_end: int, b_start: int, b_end: int,
+                    trace_pairs: np.ndarray, tspace: int) -> None:
+        ctx_a, off_a0, _ = make_context(a_seq, a_start, a_end)
+        ctx_b, off_b0, _ = make_context(b_frame, b_start, b_end)
+        ab, bb = window_bounds(a_start, a_end, b_start, b_end,
+                               trace_pairs, tspace)
+        self.ctx_a.append(ctx_a)
+        self.ctx_b.append(ctx_b)
+        for w in range(len(ab) - 1):
+            pa = off_a0 + int(ab[w] - a_start)
+            pb = off_b0 + int(bb[w] - b_start)
+            self.a_ptr.append(self._abase + pa)
+            self.b_ptr.append(self._bbase + pb)
+            self.a_len.append(int(ab[w + 1] - ab[w]))
+            self.b_len.append(int(bb[w + 1] - bb[w]))
+            self.a_avail.append(pa)
+            self.b_avail.append(pb)
+            self.owner.append(owner)
+        self._abase += len(ctx_a)
+        self._bbase += len(ctx_b)
+
+    def align(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.a_ptr)
+        if n == 0:
+            return []
+        abuf = np.concatenate(self.ctx_a)
+        bbuf = np.concatenate(self.ctx_b)
+        a_ptr = np.asarray(self.a_ptr, dtype=np.int64)
+        b_ptr = np.asarray(self.b_ptr, dtype=np.int64)
+        a_len = np.asarray(self.a_len, dtype=np.int32)
+        b_len = np.asarray(self.b_len, dtype=np.int32)
+        a_avail = np.asarray(self.a_avail, dtype=np.int32)
+        b_avail = np.asarray(self.b_avail, dtype=np.int32)
+
+        rows = _native_rows(abuf, bbuf, a_ptr, a_len, a_avail,
+                            b_ptr, b_len, b_avail)
+        if rows is None:
+            rows = []
+            for w in range(n):
+                script = iter_np_script(abuf, int(a_ptr[w]), int(a_len[w]),
+                                        bbuf, int(b_ptr[w]), int(b_len[w]))
+                wa = abuf[a_ptr[w] : a_ptr[w] + a_len[w]]
+                wb = bbuf[b_ptr[w] : b_ptr[w] + b_len[w]]
+                rows.append(script_to_rows(wa, wb, script))
+        return rows
+
+
+def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
+    from hinge_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "dalign_rows_batch"):
+        return None
+    import ctypes as c
+
+    n = len(a_ptr)
+    caps = a_len.astype(np.int64) + b_len
+    out_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(caps[:-1], out=out_off[1:])
+    total = int(caps.sum())
+    out_a = np.empty(max(total, 1), dtype=np.uint8)
+    out_b = np.empty(max(total, 1), dtype=np.uint8)
+    out_len = np.zeros(n, dtype=np.int32)
+
+    p8 = c.POINTER(c.c_uint8)
+    p32 = c.POINTER(c.c_int32)
+    p64 = c.POINTER(c.c_int64)
+    rc = lib.dalign_rows_batch(
+        abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8),
+        a_ptr.ctypes.data_as(p64), a_len.ctypes.data_as(p32),
+        a_avail.ctypes.data_as(p32),
+        b_ptr.ctypes.data_as(p64), b_len.ctypes.data_as(p32),
+        b_avail.ctypes.data_as(p32),
+        c.c_int(n),
+        out_a.ctypes.data_as(p8), out_b.ctypes.data_as(p8),
+        out_off.ctypes.data_as(p64), out_len.ctypes.data_as(p32),
+    )
+    if rc != 0:
+        return None
+    return [
+        (out_a[o : o + L].copy(), out_b[o : o + L].copy())
+        for o, L in zip(out_off, out_len)
+    ]
+
+
+def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
+    """Populate an OverlapStore's per-window trace diffs + record diffs from
+    the EXACT window alignments, in place.
+
+    DALIGNER consumers size their wave arrays from the recorded per-window
+    diff counts (computeTracePTS, LAInterface.cpp:3444-3456: dmax = max
+    points[2w]); a trace whose diffs understate the true edit count makes
+    the reference binaries overflow those arrays and crash.  Our minimizer
+    mapper interpolates trace b-displacements without aligning, so this pass
+    fills the diffs the same way DALIGNER would: the edit count of the
+    optimal window alignment (>= the wave's D by construction).
+    """
+    batch = _WindowBatch()
+    for r in range(ov.n):
+        a_seq = get_a_bases(int(ov.a_id[r]))
+        b_seq = get_b_bases(int(ov.b_id[r]))
+        blen = int(ov.b_len[r])
+        if int(ov.rc[r]):
+            from hinge_tpu.data.overlaps import revcomp_codes
+
+            b_frame = revcomp_codes(b_seq)
+            b0, b1 = blen - int(ov.b_end[r]), blen - int(ov.b_start[r])
+        else:
+            b_frame = b_seq
+            b0, b1 = int(ov.b_start[r]), int(ov.b_end[r])
+        batch.add_overlap(r, np.asarray(a_seq, np.uint8),
+                          np.asarray(b_frame, np.uint8),
+                          int(ov.a_start[r]), int(ov.a_end[r]), b0, b1,
+                          ov.trace_pairs(r), int(ov.tspace))
+    rows = batch.align()
+    wi = np.zeros(ov.n, dtype=np.int64)  # next window slot per record
+    total = np.zeros(ov.n, dtype=np.int64)
+    for w, (ra, rb) in enumerate(rows):
+        r = batch.owner[w]
+        d = int((ra != rb).sum())
+        ov.trace[ov.trace_off[r] + 2 * wi[r]] = min(d, 65535)
+        wi[r] += 1
+        total[r] += d
+    ov.diffs[:] = total
+
+
+def align_overlap_rows_exact(
+    items: Sequence[Tuple],
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Exact full alignment rows for many overlaps (the reference's
+    recoverAlignment + getAlignmentTags, batched).
+
+    items: sequence of (a_seq, b_frame, a_start, a_end, b_start, b_end,
+    trace_pairs, tspace) — same tuple shape as
+    batch_align.align_overlap_rows_bulk."""
+    batch = _WindowBatch()
+    for idx, (a_seq, b_frame, a0, a1, b0, b1, tp, tspace) in enumerate(items):
+        batch.add_overlap(idx, np.asarray(a_seq, np.uint8),
+                          np.asarray(b_frame, np.uint8),
+                          int(a0), int(a1), int(b0), int(b1), tp, int(tspace))
+    rows = batch.align()
+
+    out_a: List[List[np.ndarray]] = [[] for _ in items]
+    out_b: List[List[np.ndarray]] = [[] for _ in items]
+    for w, (ra, rb) in enumerate(rows):
+        o = batch.owner[w]
+        out_a[o].append(ra)
+        out_b[o].append(rb)
+    return [
+        (np.concatenate(a) if a else np.zeros(0, np.uint8),
+         np.concatenate(b) if b else np.zeros(0, np.uint8))
+        for a, b in zip(out_a, out_b)
+    ]

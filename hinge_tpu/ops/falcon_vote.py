@@ -122,12 +122,15 @@ def get_cns_from_align_tags(
     rows = allt.copy()
     rows[:, 4] = np.minimum(rows[:, 4], 4)
     rows[:, 5] = np.minimum(rows[:, 5], 4)
-    uniq, counts = np.unique(rows, axis=0, return_counts=True)
-    # group link rows by column (t_pos, delta, base): sort with the column
-    # key major so each column's links are contiguous
-    order = np.lexsort(
-        (uniq[:, 2], uniq[:, 3], uniq[:, 4], uniq[:, 5], uniq[:, 1], uniq[:, 0])
-    )
+    # unique link rows WITH first-occurrence index: update_col appends new
+    # links in stream order (falcon.c:192-225), and the DP's strict `>`
+    # tie-break means link order decides equal-score winners — so each
+    # column must iterate its links in first-appearance order.
+    uniq, first, counts = np.unique(rows, axis=0, return_index=True,
+                                    return_counts=True)
+    # columns in (t_pos, delta, base) order (falcon.c:366-369 loop nest);
+    # within a column, links in first-appearance order
+    order = np.lexsort((first, uniq[:, 5], uniq[:, 1], uniq[:, 0]))
     uniq = uniq[order]
     counts = counts[order]
     col_keys = uniq[:, [0, 1, 5]]
@@ -138,26 +141,32 @@ def get_cns_from_align_tags(
 
     scores: dict = {}
     bests: dict = {}
+    best_cks: dict = {}
     g_best_score = -1.0
     g_best_key = None
     for s, e in zip(col_start, col_end):
         tp, dl, base = int(uniq[s, 0]), int(uniq[s, 1]), int(uniq[s, 5])
         best_score = -1.0
         best_link = None
+        best_ck = -1
         covh = coverage[tp] * 0.5 if 0 <= tp < t_len else 0.0
-        for r in range(s, e):
+        for ck, r in enumerate(range(s, e)):
             pi, pj, pb = int(uniq[r, 2]), int(uniq[r, 3]), int(uniq[r, 4])
             cnt = int(counts[r])
             if pi == -1:
                 score = cnt - covh
             else:
-                score = scores.get((pi, pj, pb), 0.0) + cnt - covh
+                # untouched predecessor columns carry best_score == -1
+                # (falcon.c:381/426 leaves aln_col->score = -1)
+                score = scores.get((pi, pj, pb), -1.0) + cnt - covh
             if score > best_score:
                 best_score = score
                 best_link = (pi, pj, pb)
+                best_ck = ck
         key = (tp, dl, base)
         scores[key] = best_score
         bests[key] = best_link
+        best_cks[key] = best_ck
         if best_score > g_best_score:
             g_best_score = best_score
             g_best_key = key
@@ -167,8 +176,17 @@ def get_cns_from_align_tags(
     seq: List[int] = []
     low: List[bool] = []
     key = g_best_key
+    # Reference quirk (falcon.c:456-460): the backtrack seeds ck with
+    # g_best_ck — the best LINK INDEX of the best column — and the emitter
+    # interprets it as a base code.  ck==4 emits '-' (dropped); ck>4 leaves
+    # bb at its initial '$' (we encode '$' as code 5).
+    ck0 = best_cks[g_best_key]
+    first_bb = ck0 if ck0 <= 4 else 5
+    first_col = True
     while True:
-        i, _, bb = key
+        i, _, _ = key
+        bb = first_bb if first_col else key[2]
+        first_col = False
         nxt = bests.get(key)
         if nxt is None or nxt[0] == -1 or len(seq) >= t_len * 2:
             break
@@ -225,7 +243,9 @@ def _native_cns_batch(tag_windows, t_lens, min_covs, out) -> bool:
         if win_off[-1] else np.zeros((0, 6), np.int32)
     )
     flat = np.ascontiguousarray(flat, dtype=np.int32)
-    caps = 2 * t_lens
+    # non-positive t_len would shrink later windows' offsets (ADVICE r1):
+    # clamp so a degenerate window can't corrupt its neighbours
+    caps = np.maximum(2 * t_lens, 0)
     out_off = np.zeros(B, dtype=np.int64)
     np.cumsum(caps[:-1], out=out_off[1:])
     total = int(caps.sum())
@@ -291,24 +311,29 @@ def get_cns_from_align_tags_ref(
 
     g_best_score = -1.0
     g_best_key = None
-    # iterate in (t_pos, delta, base) order like the reference's triple loop
+    # iterate in (t_pos, delta, base) order like the reference's triple
+    # loop; links in dict-insertion order = update_col append order
     for key in sorted(cols.keys()):
         i = key[0]
         col = cols[key]
         best_score = -1.0
         best_link = None
-        for (pi, pj, pb), cnt in col["links"].items():
+        best_ck = -1
+        for ck, ((pi, pj, pb), cnt) in enumerate(col["links"].items()):
             if pi == -1:
                 score = cnt - coverage[i] * 0.5
             else:
                 prev = cols.get((pi, pj, pb))
-                prev_score = prev["score"] if prev is not None else 0.0
+                # untouched predecessor columns keep score -1 (falcon.c:426)
+                prev_score = prev["score"] if prev is not None else -1.0
                 score = prev_score + cnt - coverage[i] * 0.5
             if score > best_score:
                 best_score = score
                 best_link = (pi, pj, pb)
+                best_ck = ck
         col["score"] = best_score
         col["best"] = best_link
+        col["best_ck"] = best_ck
         if best_score > g_best_score:
             g_best_score = best_score
             g_best_key = key
@@ -319,11 +344,16 @@ def get_cns_from_align_tags_ref(
     # backtrack (falcon.c:442-500): walk from the global best, emitting each
     # column's base before stepping to its predecessor; the column linked
     # from -1 (the caller's prepended sentinel) is never emitted.
+    # Reference quirk (falcon.c:456-460): the FIRST emitted base is the best
+    # column's best link INDEX read as a base code ('-' dropped, >4 -> '$',
+    # which we encode as code 5).
     seq: List[int] = []
     low: List[bool] = []
     key = g_best_key
+    ck0 = cols[g_best_key]["best_ck"]
+    bb = ck0 if ck0 <= 4 else 5
     while True:
-        i, _, bb = key
+        i = key[0]
         col = cols[key]
         nxt = col["best"]
         if nxt is None or nxt[0] == -1 or len(seq) >= t_len * 2:
@@ -332,6 +362,7 @@ def get_cns_from_align_tags_ref(
             seq.append(bb)
             low.append(bool(coverage[i] <= min_cov))
         key = (nxt[0], nxt[1], nxt[2])
+        bb = key[2]
     seq.reverse()
     low.reverse()
     return np.array(seq, dtype=np.uint8), np.array(low, dtype=bool)

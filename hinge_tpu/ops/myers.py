@@ -195,6 +195,24 @@ def align_full(q: np.ndarray, t: np.ndarray, band_tolerance: int = 150) -> Tuple
     return np.concatenate(q_chunks), np.concatenate(t_chunks)
 
 
+def align_exact(q: np.ndarray, t: np.ndarray, band_tolerance: int = 150) -> Tuple[np.ndarray, np.ndarray]:
+    """EXACT DW_banded.c:_align rows: the aligned core only — no leading or
+    trailing pads; not-aligned returns empty rows (the reference leaves
+    aln_str_size = 0).  This is what draft.cpp:636 feeds to get_align_tags;
+    the unconsumed template tail then receives no tags, which shifts
+    coverage and the falcon DP's global best."""
+    a = align_pair(q, t, band_tolerance)
+    if not a.aligned:
+        return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    return a.q_aln, a.t_aln
+
+
+def align_exact_batch(qs, ts, band_tolerance: int = 150):
+    """align_exact over a batch (native kernel with pad_full=0 when
+    available, else the Python loop)."""
+    return _align_batch_impl(qs, ts, band_tolerance, pad_full=0)
+
+
 def align_full_batch(qs, ts, band_tolerance: int = 150):
     """align_full over a batch of windows.
 
@@ -203,6 +221,10 @@ def align_full_batch(qs, ts, band_tolerance: int = 150):
     the toolchain is available, else the Python loop.  This is the CPU
     fast path for the draft/consensus window alignments.
     """
+    return _align_batch_impl(qs, ts, band_tolerance, pad_full=1)
+
+
+def _align_batch_impl(qs, ts, band_tolerance: int, pad_full: int):
     B = len(qs)
     if B == 0:
         return []
@@ -210,7 +232,8 @@ def align_full_batch(qs, ts, band_tolerance: int = 150):
 
     lib = get_lib()
     if lib is None or not hasattr(lib, "myers_align_batch"):
-        return [align_full(q, t, band_tolerance) for q, t in zip(qs, ts)]
+        fn = align_full if pad_full else align_exact
+        return [fn(q, t, band_tolerance) for q, t in zip(qs, ts)]
     import ctypes as C
 
     q_off = np.zeros(B + 1, dtype=np.int64)
@@ -236,6 +259,7 @@ def align_full_batch(qs, ts, band_tolerance: int = 150):
         C.c_int64(B), C.c_int32(band_tolerance),
         q_rows.ctypes.data_as(u8p), t_rows.ctypes.data_as(u8p),
         row_off.ctypes.data_as(i64p), ok.ctypes.data_as(C.POINTER(C.c_int32)),
+        C.c_int32(pad_full),
     )
     return [
         (q_rows[row_off[i] : row_off[i + 1]].copy(),

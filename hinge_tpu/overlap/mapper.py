@@ -261,9 +261,19 @@ def map_reads_to_targets(
                               band_width, tspace, rid_base=lo,
                               half_pairs=half_pairs)
             stores.append(part)
-        return _concat(stores, tspace)
-    return _map_block(index, targets, rs, k, w, min_span, min_hits,
-                      band_width, tspace, rid_base=0, half_pairs=half_pairs)
+        out = _concat(stores, tspace)
+    else:
+        out = _map_block(index, targets, rs, k, w, min_span, min_hits,
+                         band_width, tspace, rid_base=0,
+                         half_pairs=half_pairs)
+    if not half_pairs:
+        # fill true per-window diffs: DALIGNER consumers size wave arrays
+        # from them (see dalign_trace.fill_window_diffs); interpolated
+        # traces with diffs=0 crash the reference consensus binary
+        from hinge_tpu.ops.dalign_trace import fill_window_diffs
+
+        fill_window_diffs(out, lambda i: targets[i], rs.get_bases)
+    return out
 
 
 def _concat(stores: List[OverlapStore], tspace: int) -> OverlapStore:

@@ -24,6 +24,7 @@ import numpy as np
 from hinge_tpu.config import Config
 from hinge_tpu.data.overlaps import OverlapStore, ReadStore, revcomp_codes
 from hinge_tpu.ops import batch_align as BA
+from hinge_tpu.ops import dalign_trace as DT
 from hinge_tpu.ops import myers as MY
 from hinge_tpu.stages.draft import codes_to_text
 
@@ -98,7 +99,8 @@ def run_consensus(
             if it is not None:
                 items.append(it)
                 traced.append(r)
-        bulk = BA.align_overlap_rows_bulk(items)
+        # exact recoverAlignment+getAlignmentTags rows (ops/dalign_trace.py)
+        bulk = DT.align_overlap_rows_exact(items)
         rows_by_r = dict(zip(traced, bulk))
 
         for r in sel:

@@ -18,12 +18,14 @@ import numpy as np
 
 from hinge_tpu.config import Config
 from hinge_tpu.data.overlaps import OverlapStore, ReadStore, revcomp_codes
-from hinge_tpu.ops import batch_align as BA
+from hinge_tpu.ops import dalign_trace as DT
 from hinge_tpu.ops import falcon_vote as FV
 from hinge_tpu.ops import myers as MY
 
-_L = np.frombuffer(b"acgt-", dtype=np.uint8)
-_U = np.frombuffer(b"ACGT-", dtype=np.uint8)
+# code 5 = '$': falcon.c's backtrack can emit the literal '$' placeholder
+# when the best column's best link index exceeds 4 (falcon.c:456-483)
+_L = np.frombuffer(b"acgt-$", dtype=np.uint8)
+_U = np.frombuffer(b"ACGT-$", dtype=np.uint8)
 
 
 def codes_to_text(codes: np.ndarray, low: Optional[np.ndarray] = None) -> str:
@@ -173,14 +175,18 @@ def draft_assembly_ctg(
         return None
     a0, a0s = edges[0][0], edges[0][1]
 
+    # case convention (reference): raw read substrings are LOWERCASE
+    # (getRead loads with UPPER=1 -> Lower_Read, LAInterface.cpp:257/1250);
+    # only FALCON consensus bases with coverage > min_cov are uppercase
+    # (falcon.c:460-476).  The `low` masks below encode exactly that.
     if one_read:
         seq = rs.get_bases(a0)
         if a0s == 1:
             seq = revcomp_codes(seq)
         if cut_start <= len(seq) and cut_end <= len(seq):
             out = seq[cut_start:cut_end]
-            return out, np.zeros(len(out), bool)
-        return seq, np.zeros(len(seq), bool)
+            return out, np.ones(len(out), bool)
+        return seq, np.ones(len(seq), bool)
 
     # select the backbone overlap row per edge
     selected: List[int] = []
@@ -208,8 +214,8 @@ def draft_assembly_ctg(
         draft = np.concatenate([seq[:aend], readB[bstart:]])
         if cut_start <= len(draft) and cut_end <= len(draft):
             out = draft[cut_start:cut_end]
-            return out, np.zeros(len(out), bool)
-        return draft, np.zeros(len(draft), bool)
+            return out, np.ones(len(out), bool)
+        return draft, np.ones(len(draft), bool)
 
     # ---- multi-read contig ----
     n_bb = len(edges)
@@ -220,9 +226,10 @@ def draft_assembly_ctg(
     overhang = np.zeros(0, np.uint8)
     len_overhang = 0
 
-    # all backbone alignment rows in pooled window batches
+    # all backbone alignment rows in pooled window batches — EXACT
+    # recoverAlignment+getAlignmentTags parity (ops/dalign_trace.py)
     bulk_items = [_row_item_for_edge(ov, rs, selected[idx]) for idx in range(n_bb)]
-    bulk_rows = BA.align_overlap_rows_bulk(bulk_items)
+    bulk_rows = DT.align_overlap_rows_exact(bulk_items)
 
     for idx, (a, ao, b, bo, w) in enumerate(edges):
         r = selected[idx]
@@ -406,7 +413,7 @@ def draft_assembly_ctg(
         if len(ladder) == 1:
             rd, s, e = ladder[0]
             draft_chunks.append(breads[rd][s:e])
-            low_chunks.append(np.zeros(max(e - s, 0), bool))
+            low_chunks.append(np.ones(max(e - s, 0), bool))
             continue
         cns, low = cns_of[li]
         draft_chunks.append(cns)
@@ -416,8 +423,8 @@ def draft_assembly_ctg(
     low_body = np.concatenate(low_chunks) if low_chunks else np.zeros(0, bool)
     contig = np.concatenate([prefix, body, suffix, overhang])
     low = np.concatenate(
-        [np.zeros(len(prefix), bool), low_body,
-         np.zeros(len(suffix) + len(overhang), bool)]
+        [np.ones(len(prefix), bool), low_body,
+         np.ones(len(suffix) + len(overhang), bool)]
     )
     if cut_start <= len(contig) and cut_end_eff <= len(contig):
         end = len(contig) - cut_end_eff
@@ -427,14 +434,12 @@ def draft_assembly_ctg(
 
 
 def _align_ladder_pairs(pair_q, pair_t, band):
-    """Backend-adaptive ladder segment alignment.
+    """Ladder segment alignment — EXACT DW_banded.c:_align semantics.
 
-    Identical pairs short-circuit (common with clean data).  The rest go to
-    the banded batched DP on accelerators; on the CPU backend the scalar
-    Myers O(ND) path wins for low-divergence segments, so it is used there.
-    """
-    import jax
-
+    Identical pairs short-circuit (_align consumes equal strings fully with
+    zero diffs, so the rows are the inputs).  The rest run the exact native
+    kernel (partial rows, no pads — the unconsumed template tail must stay
+    untagged for falcon-vote parity, draft.cpp:636-677)."""
     rows: List = [None] * len(pair_q)
     todo = []
     for k, (qv, tv) in enumerate(zip(pair_q, pair_t)):
@@ -443,22 +448,9 @@ def _align_ladder_pairs(pair_q, pair_t, band):
         else:
             todo.append(k)
     if todo:
-        if jax.default_backend() == "cpu":
-            for k, r in zip(todo, MY.align_full_batch(
-                    [pair_q[k] for k in todo], [pair_t[k] for k in todo],
-                    band)):
-                rows[k] = r
-        else:
-            from hinge_tpu.ops.banded_align import align_batch_banded
-
-            wmax = max(max(len(pair_q[k]), len(pair_t[k])) for k in todo)
-            w = min(-(-max(wmax, 128) // 128) * 128, 4096)
-            sub = align_batch_banded(
-                [pair_q[k] for k in todo], [pair_t[k] for k in todo],
-                w=w, band=96,
-            )
-            for k, r in zip(todo, sub):
-                rows[k] = r
+        for k, r in zip(todo, MY.align_exact_batch(
+                [pair_q[k] for k in todo], [pair_t[k] for k in todo], band)):
+            rows[k] = r
     return rows
 
 

@@ -176,6 +176,19 @@ def test_falcon_cns_batch_matches_per_window():
         wins.append(allt)
         tls.append(tlen)
         mcs.append(int(rng.integers(0, 4)))
+    # windows the C kernel must REJECT (out_len=-1 -> numpy fallback):
+    # t_pos beyond the 21-bit key range, and a p_t_pos beyond it (ADVICE r1)
+    big = (1 << 21) + 5
+    rej1 = np.array([[big, 0, -1, 0, 5, 2], [big + 1, 0, big, 0, 2, 1]],
+                    dtype=np.int32)
+    wins.append(rej1)
+    tls.append(big + 10)
+    mcs.append(1)
+    rej2 = np.array([[1, 0, -1, 0, 5, 2], [2, 0, big, 0, 2, 1]],
+                    dtype=np.int32)
+    wins.append(rej2)
+    tls.append(10)
+    mcs.append(1)
     batch = FV.get_cns_batch(wins, tls, mcs)
     for i, (seq_b, low_b) in enumerate(batch):
         seq_p, low_p = FV.get_cns_from_align_tags([wins[i]], tls[i], mcs[i])
