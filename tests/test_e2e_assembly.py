@@ -58,21 +58,34 @@ def assembly(tmp_path_factory):
     )
 
 
-def _is_rotation_of(contig: str, genome: str, probe=1000, stride=2500, min_hit=0.95):
-    """contig should appear in genome+genome (fwd or rc): sample fixed-size
-    probes along the contig and require nearly all to hit one orientation."""
-    g2 = genome + genome
-    grc = codes_to_str(revcomp_codes(str_to_codes(genome)))
-    g2rc = grc + grc
+def _is_rotation_of(contig: str, genome: str, probe=64):
+    """contig should be a rotation slice of genome (fwd or rc) up to
+    isolated single-base artifacts: the faithfully-replicated falcon.c
+    backtrack quirk rewrites the LAST base of every multi-segment ladder
+    consensus with the best column's link index (falcon.c:456-460), so even
+    error-free reads yield ~1 mismatch per draft tspace (~900bp) ladder.
+    Anchors the rotation with clean probes, then bounds the mismatch count
+    by the possible artifact density."""
+    # triple-tile so a circular-overhang contig (len > genome) still gets a
+    # full-length comparison window from any rotation offset
+    g3 = genome.upper() * 3
+    grc = codes_to_str(revcomp_codes(str_to_codes(genome))).upper()
+    g3rc = grc * 3
     c = contig.upper()
-    if c in g2 or c in g2rc:
-        return True
-    starts = range(0, max(len(c) - probe, 1), stride)
-    best = 0.0
-    for ref in (g2, g2rc):
-        hits = sum(1 for s in starts if c[s : s + probe] in ref)
-        best = max(best, hits / max(len(list(starts)), 1))
-    return best >= min_hit
+    budget = len(c) // 500 + 5  # >= one artifact per ladder, with slack
+    for ref0, ref2 in ((genome.upper(), g3), (grc, g3rc)):
+        for s in range(0, max(len(c) - probe, 1), 997):
+            k = ref2.find(c[s : s + probe])
+            if k < 0:
+                continue
+            start = (k - s) % len(ref0)
+            window = ref2[start : start + len(c)]
+            if len(window) < len(c):
+                continue
+            mism = sum(1 for a, b in zip(c, window) if a != b)
+            if mism <= budget:
+                return True
+    return False
 
 
 def test_draft_path_outputs(assembly):
