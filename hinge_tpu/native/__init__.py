@@ -16,6 +16,7 @@ from typing import Optional
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "io_native.cpp")
 _SRC2 = os.path.join(_HERE, "dalign_np.cpp")
+_SRC3 = os.path.join(_HERE, "stdcxx_order.cpp")
 _BUILD_DIR = os.path.join(_HERE, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libhinge_io.so")
 _lock = threading.Lock()
@@ -27,7 +28,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        _SRC, _SRC2, "-o", _LIB_PATH,
+        _SRC, _SRC2, _SRC3, "-o", _LIB_PATH,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -46,7 +47,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if not os.path.exists(_LIB_PATH) or (
             os.path.getmtime(_LIB_PATH)
-            < max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+            < max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
+                  os.path.getmtime(_SRC3))
         ):
             if not _build():
                 return None
@@ -72,5 +74,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 getattr(lib, fn).restype = c.c_int64
         if hasattr(lib, "dalign_rows_batch"):
             lib.dalign_rows_batch.restype = c.c_int
+        for fn in ("umap_iter_order", "stdsort_desc_perm",
+                   "umap_iter_order_batch", "stdsort_desc_perm_batch"):
+            if hasattr(lib, fn):
+                getattr(lib, fn).restype = c.c_int
         _lib = lib
         return _lib

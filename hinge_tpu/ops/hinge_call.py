@@ -1,0 +1,162 @@
+"""Device-side hinge calling (filter.cpp:838-1070 as one jitted kernel).
+
+The reference walks, per read and per repeat annotation, the read's non-self
+pileup: counts supporting matches whose A-end (out-hinge, gradient -1) or
+A-start (in-hinge, +1) lands within HINGE_TOLERANCE_LENGTH of the annotation
+and whose far-side B overhang exceeds THETA, then decides bridged/unbridged
+by scanning the supporters' other ends sorted by (coordinate, overhang)
+(pairAscend/pairDescend, filter.cpp:914-1065).
+
+TPU-first shape: every (read, annotation) pair becomes one row of a padded
+[T, P] batch (P = padded pileup width, bucketed to powers of two).  The
+sequential early-exit scan is value-deterministic after the sort, so it
+reduces to cumulative counts + a first-trigger-index comparison:
+
+  fail_idx  = first index where an extending/short-overhang supporter trips
+              the unbridged condition (extending > HRUT, or considered >
+              HRUT with spread > HBL)
+  succ_idx  = first index where a long-overhang supporter sits in a pileup
+              window of > HBPT entries (bin width HBL)
+  bridged   = not (fail_idx < succ_idx)     [scan default: bridged]
+
+Elements with overhang == THETA are walked over without counting, exactly
+like the reference's if/elif chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SHIFT = 21  # sort key: first * 2^21 + second (both < 2^21 for real reads)
+_BIG = jnp.int64(1) << 60
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("theta", "htl", "hbl", "hrut", "hbpt"),
+)
+def _hinge_kernel(
+    pos_a, grad, m0, m1, rid,
+    ams, ame, lov, rov, valid,
+    *, theta: int, htl: int, hbl: int, hrut: int, hbpt: int,
+):
+    """tasks: pos_a/grad/m0/m1/rid int32 [T]; per-read padded rows
+    ams/ame/lov/rov int32 [R, P], valid bool [R, P].
+    Returns (bridged bool [T], support int32 [T])."""
+    f64 = lambda x: x.astype(jnp.int64)
+    A0 = f64(ams[rid])   # [T, P] A-start
+    A1 = f64(ame[rid])   # A-end
+    LO = f64(lov[rid])   # left overhang
+    RO = f64(rov[rid])   # right overhang
+    VV = valid[rid]
+    pos = f64(pos_a)[:, None]
+    is_out = (grad == -1)[:, None]
+
+    # supporters (filter.cpp:874-898)
+    near_out = (A1 > pos - htl) & (A1 < pos + htl) & (RO > theta) & VV
+    near_in = (A0 > pos - htl) & (A0 < pos + htl) & (LO > theta) & VV
+    near = jnp.where(is_out, near_out, near_in)
+    support = near.sum(axis=1).astype(jnp.int32)
+
+    # scan elements: (first, second) = (A-start, left ovh) ascending for
+    # out-hinges, (A-end, right ovh) descending for in-hinges
+    first = jnp.where(is_out, A0, A1)
+    second = jnp.where(is_out, LO, RO)
+    key = first * (1 << _SHIFT) + second
+    key = jnp.where(is_out, key, -key)
+    key = jnp.where(near, key, _BIG)  # non-supporters sort last
+    order = jnp.argsort(key, axis=1)
+    tk = jnp.take_along_axis
+    firs = tk(first, order, axis=1)
+    secs = tk(second, order, axis=1)
+    vals = tk(near, order, axis=1)
+
+    mask_ref = jnp.where(is_out, f64(m0)[:, None], f64(m1)[:, None])
+    dist = jnp.where(is_out, firs - mask_ref, mask_ref - firs)
+    a_flag = vals & (dist < hbl)
+    b_flag = vals & ~a_flag & (secs < theta)
+    c_flag = vals & ~a_flag & (secs > theta)
+
+    considered = jnp.cumsum((a_flag | b_flag | c_flag).astype(jnp.int32), axis=1)
+    extending = jnp.cumsum(a_flag.astype(jnp.int32), axis=1)
+    first0 = firs[:, :1]
+    spread = jnp.where(is_out, firs - first0, first0 - firs)
+    fail = (a_flag | b_flag) & (
+        (extending > hrut) | ((considered > hrut) & (spread > hbl))
+    )
+
+    # pileup window size at each element (same direction as the sort):
+    # out: count of j >= idx with firs[j] - firs[idx] < hbl
+    # in : count of j >= idx with firs[idx] - firs[j] < hbl
+    d = jnp.where(is_out[:, :, None], firs[:, None, :] - firs[:, :, None],
+                  firs[:, :, None] - firs[:, None, :])  # [T, idx, j]
+    in_win = (d < hbl) & vals[:, None, :]
+    cnt_lt = in_win.sum(axis=2)  # includes j < idx within the window...
+    # only j >= idx count: sorted order makes the window contiguous from
+    # idx, so subtract the elements before idx that are inside it
+    before = (jnp.arange(firs.shape[1])[None, None, :]
+              < jnp.arange(firs.shape[1])[None, :, None])
+    cnt_before = (in_win & before).sum(axis=2)
+    pileup_len = cnt_lt - cnt_before
+    succ = c_flag & (pileup_len > hbpt)
+
+    P = firs.shape[1]
+    idxs = jnp.arange(P, dtype=jnp.int32)[None, :]
+    fail_idx = jnp.min(jnp.where(fail, idxs, P), axis=1)
+    succ_idx = jnp.min(jnp.where(succ, idxs, P), axis=1)
+    bridged = ~(fail_idx < succ_idx)
+    return bridged, support
+
+
+def call_hinges_device(
+    tasks: np.ndarray,      # [T, 2]: (read id, annotation index within read)
+    pos_a: np.ndarray,      # [T]
+    grad: np.ndarray,       # [T]
+    m0: np.ndarray, m1: np.ndarray,  # [T] mask ends of the read
+    read_rows: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    theta: int, htl: int, hbl: int, hrut: int, hbpt: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad each task's read pileup into a [R, P] bucket and run the kernel.
+
+    read_rows maps read id -> (ams, ame, left_ovh, right_ovh) arrays.
+    Returns (bridged bool [T], support int32 [T]).
+    """
+    T = len(pos_a)
+    if T == 0:
+        return np.zeros(0, bool), np.zeros(0, np.int32)
+    rids_unique = sorted({int(r) for r, _ in tasks})
+    rmap = {r: k for k, r in enumerate(rids_unique)}
+    pmax = max(len(read_rows[r][0]) for r in rids_unique)
+    P = 8
+    while P < pmax:
+        P *= 2
+    R = len(rids_unique)
+    ams = np.zeros((R, P), np.int32)
+    ame = np.zeros((R, P), np.int32)
+    lov = np.zeros((R, P), np.int32)
+    rov = np.zeros((R, P), np.int32)
+    valid = np.zeros((R, P), bool)
+    for r in rids_unique:
+        k = rmap[r]
+        a0, a1, lo, ro = read_rows[r]
+        n = len(a0)
+        ams[k, :n] = a0
+        ame[k, :n] = a1
+        lov[k, :n] = lo
+        rov[k, :n] = ro
+        valid[k, :n] = True
+    rid = np.array([rmap[int(r)] for r, _ in tasks], np.int32)
+    bridged, support = _hinge_kernel(
+        jnp.asarray(pos_a, jnp.int32), jnp.asarray(grad, jnp.int32),
+        jnp.asarray(m0, jnp.int32), jnp.asarray(m1, jnp.int32),
+        jnp.asarray(rid),
+        jnp.asarray(ams), jnp.asarray(ame), jnp.asarray(lov),
+        jnp.asarray(rov), jnp.asarray(valid),
+        theta=theta, htl=htl, hbl=hbl, hrut=hrut, hbpt=hbpt,
+    )
+    return np.asarray(bridged), np.asarray(support)

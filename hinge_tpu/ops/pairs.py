@@ -26,13 +26,59 @@ from hinge_tpu.ops import classify as CL
 
 
 def top_k_per_pair(ov: OverlapStore, k: int = 2) -> np.ndarray:
-    """Row indices of the top-k overlaps per (a_id, b_id) pair, ordered by
-    (a_id asc, first-occurrence of b in las order, rank)."""
+    """Row indices of the top-k overlaps per (a_id, b_id) pair, in the
+    REFERENCE's emission order: a_id ascending, then b keys in libstdc++
+    unordered_map iteration order (inserted in first-appearance .las order,
+    hinging.cpp:473-490 / maximal.cpp:744-765), then rank under libstdc++
+    std::sort(compare_overlap) — including its unstable tie permutation
+    (the per-pair vectors hold rows in .las push order).
+
+    Without the native toolchain, falls back to first-occurrence group
+    order with stable-descending ranks (documented divergence on ties)."""
     n = ov.n
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     key = ov.a_id.astype(np.int64) * (int(ov.b_id.max()) + 1) + ov.b_id
     mlen = ov.match_len().astype(np.int64)
+
+    orders = _libstdcxx_orders()
+    if orders is not None:
+        umap_batch, sort_batch = orders
+        # group rows by pair, keeping las order within each pair
+        order0 = np.lexsort((np.arange(n), key))
+        sk = key[order0]
+        first = np.ones(n, dtype=bool)
+        first[1:] = sk[1:] != sk[:-1]
+        grp_start = np.nonzero(first)[0]
+        grp_off = np.append(grp_start, n).astype(np.int64)
+        n_grp = len(grp_start)
+        # per-pair std::sort permutation on summed raw match length
+        w = np.ascontiguousarray(mlen[order0])
+        perm = np.zeros(n, dtype=np.int32)
+        sort_batch(w, grp_off, n_grp, perm)
+        # per-a umap iteration order over the pair groups (keys = b of the
+        # group, inserted in first-occurrence las order)
+        grp_a = ov.a_id[order0[grp_start]].astype(np.int64)
+        grp_b = ov.b_id[order0[grp_start]].astype(np.int32)
+        grp_min_las = np.minimum.reduceat(order0, grp_off[:-1])
+        ins = np.lexsort((grp_min_las, grp_a))  # groups per a, insertion order
+        a_sorted = grp_a[ins]
+        a_first = np.ones(n_grp, dtype=bool)
+        a_first[1:] = a_sorted[1:] != a_sorted[:-1]
+        a_off = np.append(np.nonzero(a_first)[0], n_grp).astype(np.int64)
+        keys_flat = np.ascontiguousarray(grp_b[ins])
+        uorder = np.zeros(n_grp, dtype=np.int32)
+        umap_batch(keys_flat, a_off, len(a_off) - 1, uorder)
+        out_rows = []
+        for ai in range(len(a_off) - 1):
+            s, e = a_off[ai], a_off[ai + 1]
+            for gi_local in uorder[s:e]:
+                g = ins[s + gi_local]
+                gs, ge = grp_off[g], grp_off[g + 1]
+                take = min(k, ge - gs)
+                out_rows.append(order0[gs + perm[gs : gs + take]])
+        return np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
+
     order = np.lexsort((np.arange(n), -mlen, key))
     sk = key[order]
     first = np.ones(n, dtype=bool)
@@ -40,14 +86,38 @@ def top_k_per_pair(ov: OverlapStore, k: int = 2) -> np.ndarray:
     grp_id = np.cumsum(first) - 1
     grp_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
     rank = np.arange(n) - grp_start
-    # group emission order: reference iterates an unordered_map (not
-    # reproducible); we pin groups to first-occurrence (.las) order
     n_grp = int(grp_id[-1]) + 1
     min_las = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(min_las, grp_id, order)
     keep_mask = rank < k
     out = np.lexsort((rank[keep_mask], min_las[grp_id[keep_mask]]))
     return order[keep_mask][out]
+
+
+def _libstdcxx_orders():
+    """(umap_iter_order_batch, stdsort_desc_perm_batch) callables bound to
+    numpy arrays, or None without the native library."""
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "umap_iter_order_batch"):
+        return None
+    import ctypes as c
+
+    p32 = c.POINTER(c.c_int32)
+    p64 = c.POINTER(c.c_int64)
+
+    def umap_batch(keys, off, n_groups, out):
+        lib.umap_iter_order_batch(
+            keys.ctypes.data_as(p32), off.ctypes.data_as(p64),
+            c.c_int64(n_groups), out.ctypes.data_as(p32))
+
+    def sort_batch(weights, off, n_groups, out):
+        lib.stdsort_desc_perm_batch(
+            weights.ctypes.data_as(p64), off.ctypes.data_as(p64),
+            c.c_int64(n_groups), out.ctypes.data_as(p32))
+
+    return umap_batch, sort_batch
 
 
 @dataclasses.dataclass

@@ -286,8 +286,8 @@ def run_filter(
             anno = [(int(j) * reso, int(ann_grid[ri, j])) for j in nz]
             repeat_annotation[i] = _merge_annotations(anno, f.repeat_annotation_gap_threshold)
 
-        # ---- hinge calling (filter.cpp:838-1070) ----
-        _call_hinges(
+        # ---- hinge calling (filter.cpp:838-1070, device kernel) ----
+        _call_hinges_device(
             part, nonself, rs, maskvec, cov, ne, r_begin, r_end,
             repeat_annotation, hinges, f, reso,
         )
@@ -331,6 +331,92 @@ def _merge_annotations(anno: List[Tuple[int, int]], gap: int) -> List[Tuple[int,
         else:
             i += 1
     return a
+
+
+def _call_hinges_device(
+    part, nonself, rs, maskvec, cov, ne, r_begin, r_end,
+    repeat_annotation, hinges, f, reso,
+):
+    """filter.cpp:838-1070 on device: per-read gating stays host-side (it
+    reads ragged coverage vectors); support counting and the bridged scans
+    run as ONE jitted [tasks, pileup] kernel (ops/hinge_call.py), which the
+    host oracle `_call_hinges` pins in tests/test_filter_ops.py."""
+    from hinge_tpu.ops.hinge_call import call_hinges_device
+
+    sel_idx = np.nonzero(nonself)[0]
+    a_ids = part.a_id[sel_idx]
+    order = np.argsort(a_ids, kind="stable")
+    sel_idx = sel_idx[order]
+    a_ids = a_ids[order]
+    bounds = np.searchsorted(a_ids, np.arange(r_begin, r_end + 2))
+    NHR = f.no_hinge_region
+
+    tasks: list = []
+    t_pos: list = []
+    t_grad: list = []
+    t_m0: list = []
+    t_m1: list = []
+    read_rows: dict = {}
+    for i in range(r_begin, r_end + 1):
+        hinges[i] = []
+        anns = repeat_annotation[i]
+        # average coverage near mask ends (filter.cpp:842-865)
+        m0, m1 = int(maskvec[i, 0]), int(maskvec[i, 1])
+        nloc = int(ne[i - r_begin])
+        pos = np.arange(nloc) * reso
+        vals = cov[i - r_begin, :nloc]
+        s_sel = (pos >= m0) & (pos <= m0 + NHR)
+        e_sel = (pos >= m1 - NHR) & (pos <= m1)
+        n_s, n_e = int(s_sel.sum()), int(e_sel.sum())
+        if n_s > 0 and n_e > 0:
+            avg_s = float(vals[s_sel].sum()) / n_s
+            avg_e = float(vals[e_sel].sum()) / n_e
+            if abs(avg_e - avg_s) < 10:
+                continue
+        # (num==0 -> NaN in C, comparison false -> proceed)
+        if not anns:
+            continue
+        if i not in read_rows:
+            lo, hi = bounds[i - r_begin], bounds[i - r_begin + 1]
+            rows = sel_idx[lo:hi]
+            b_ids = part.b_id[rows]
+            rcs = part.rc[rows]
+            bms = part.b_start[rows]
+            bme = part.b_end[rows]
+            bm0 = maskvec[b_ids, 0]
+            bm1 = maskvec[b_ids, 1]
+            right_ovh = np.where(rcs == 0, np.maximum(bm1 - bme, 0),
+                                 np.maximum(bms - bm0, 0))
+            left_ovh = np.where(rcs == 0, np.maximum(bms - bm0, 0),
+                                np.maximum(bm1 - bme, 0))
+            read_rows[i] = (
+                part.a_start[rows].astype(np.int32),
+                part.a_end[rows].astype(np.int32),
+                left_ovh.astype(np.int32),
+                right_ovh.astype(np.int32),
+            )
+        for ai, (pos_a, grad) in enumerate(anns):
+            tasks.append((i, ai))
+            t_pos.append(pos_a)
+            t_grad.append(grad)
+            t_m0.append(m0)
+            t_m1.append(m1)
+
+    if not tasks:
+        return
+    bridged, support = call_hinges_device(
+        tasks, np.asarray(t_pos, np.int32), np.asarray(t_grad, np.int32),
+        np.asarray(t_m0, np.int32), np.asarray(t_m1, np.int32), read_rows,
+        theta=f.theta, htl=f.hinge_tolerance_length, hbl=f.hinge_bin,
+        hrut=f.hinge_unbridged, hbpt=f.hinge_min_pileup,
+    )
+    HMS = f.hinge_min_support
+    for t, (i, ai) in enumerate(tasks):
+        if int(support[t]) < HMS:
+            continue
+        if (not bool(bridged[t])) and int(support[t]) > HMS:
+            pos_a, grad = repeat_annotation[i][ai]
+            hinges[i].append((pos_a, grad))
 
 
 def _call_hinges(

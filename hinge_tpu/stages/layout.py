@@ -111,10 +111,32 @@ def get_alignment(
                 fwd.setdefault(i, []).append(q)
             elif t in BACKWARD_TYPES:
                 bwd.setdefault(i, []).append(q)
-        # sort by weight desc (compare_overlap_weight), stable on ties
+        # sort by weight desc: hinging.cpp:1068-1069 uses std::sort
+        # (compare_overlap_weight), whose unstable tie permutation the
+        # hgraph/edge files inherit — replicate it via the libstdc++ oracle
+        # (ops/pairs._libstdcxx_orders); stable descending otherwise
+        from hinge_tpu.ops.pairs import _libstdcxx_orders
+
+        orders = _libstdcxx_orders()
         for d in (fwd, bwd):
-            for i, lst in d.items():
-                lst.sort(key=lambda q: -int(pa.weight[q]))
+            if orders is None:
+                for i, lst in d.items():
+                    lst.sort(key=lambda q: -int(pa.weight[q]))
+                continue
+            _, sort_batch = orders
+            items = sorted(d.items())
+            flat = np.array([q for _, lst in items for q in lst],
+                            dtype=np.int64)
+            if len(flat) == 0:
+                continue
+            off = np.zeros(len(items) + 1, dtype=np.int64)
+            np.cumsum([len(lst) for _, lst in items], out=off[1:])
+            wts = np.ascontiguousarray(pa.weight[flat].astype(np.int64))
+            perm = np.zeros(len(flat), dtype=np.int32)
+            sort_batch(wts, off, len(items), perm)
+            for gi, (i, lst) in enumerate(items):
+                s, e = off[gi], off[gi + 1]
+                d[i] = [lst[j] for j in perm[s:e]]
         out.append(Matches(store=sub, pa=pa, fwd=fwd, bwd=bwd))
     return out
 
