@@ -1,4 +1,4 @@
-"""Multi-chip sharding of the filter-stage kernels.
+"""Multi-chip sharding of the record-stream kernels.
 
 The reference's only parallelism notion is `.las` partitioning by A-read id
 (--mlas, filter.cpp:35-63) on one host.  The TPU-native design shards the
@@ -15,6 +15,15 @@ data-parallel over 'reads' with no further communication.  The per-read mask
 table — needed globally for B-side overhang lookups during hinge calling —
 is `all_gather`ed over 'reads' at the end.  All collectives ride ICI;
 nothing else crosses shard boundaries.
+
+Beyond the filter pileups, the classify/trim lattice kernels
+(`ops/classify.py`), GetMatchingPosition queries, and the per-(A,B) top-k
+selection all shard the same way — by contiguous A-read/record ranges, the
+reference's own --mlas partitioning (filter.cpp:35-63).  Trim/classify and
+matching-position are per-overlap segment ops with no cross-shard term at
+all (the per-overlap effective-mask values are gathered host-side before
+placement, exactly like the single-device path), so the shard_map bodies
+are pure data parallelism; only the filter chain needs psum/all_gather.
 
 Works identically on a real TPU mesh and on the CPU backend with
 `--xla_force_host_platform_device_count` virtual devices.
@@ -196,3 +205,257 @@ def run_sharded_filter(
     )
     cov, masks, ann = step(*args)
     return cov, masks, ann, reads_chunk
+
+
+# ---------------------------------------------------------------------------
+# Sharded classify / trim lattice kernels (maximal + layout device portion)
+# ---------------------------------------------------------------------------
+
+
+def _flat_mesh_spec(mesh: Mesh):
+    """PartitionSpec flattening every mesh axis onto the leading dim."""
+    return P(tuple(mesh.axis_names))
+
+
+def _shard_overlap_tables(cols: dict, tw, n_dev: int):
+    """Partition a batch of overlaps (+ flat trace-walk) into n_dev blocks.
+
+    `cols` maps name -> int32 [n] per-overlap column.  Each shard gets
+    `chunk` real/zero-padded overlap rows plus ONE sentinel row (index
+    `chunk`) that absorbs flat-point padding, so every shard has identical
+    static shapes: rows = chunk+1, points = pad_pts, pairs = pad_pts-chunk-1
+    (each row contributes npairs+1 points).  Returns (tables, meta) where
+    tables holds (n_dev, ...) arrays ready for device_put.
+    """
+    from hinge_tpu.ops import classify as CL
+
+    n = len(next(iter(cols.values())))
+    chunk = max(1, -(-n // n_dev))
+    npairs = tw.npairs
+    total_pairs_at = np.append(tw.pair_off, tw.pair_off[-1] + npairs[-1]) if n else np.zeros(1, np.int64)
+
+    # per-shard real counts and point totals
+    n_real = np.array([max(0, min(n - r * chunk, chunk)) for r in range(n_dev)])
+    pts_real = np.zeros(n_dev, dtype=np.int64)
+    for r in range(n_dev):
+        r0, r1 = r * chunk, r * chunk + n_real[r]
+        if n_real[r]:
+            pts_real[r] = int(npairs[r0:r1].sum()) + n_real[r]
+    # zero-filled rows contribute 1 point each; +1 so sentinel has >=1 point
+    pad_pts = int((pts_real + (chunk - n_real)).max()) + 1
+    pad_pairs = pad_pts - (chunk + 1)
+
+    names = list(cols)
+    out = {k: np.zeros((n_dev, chunk + 1), dtype=np.int32) for k in names}
+    np_l = np.zeros((n_dev, chunk + 1), dtype=np.int32)
+    po_l = np.zeros((n_dev, chunk + 1), dtype=np.int64)
+    cum_l = np.zeros((n_dev, max(pad_pairs, 1)), dtype=np.int32)
+    seg_l = np.zeros((n_dev, pad_pts), dtype=np.int32)
+    k_l = np.zeros((n_dev, pad_pts), dtype=np.int32)
+
+    for r in range(n_dev):
+        r0 = r * chunk
+        m = n_real[r]
+        if m:
+            for k in names:
+                out[k][r, :m] = cols[k][r0 : r0 + m]
+            np_l[r, :m] = npairs[r0 : r0 + m]
+            gp0 = tw.pair_off[r0]
+            gp1 = total_pairs_at[r0 + m]
+            po_l[r, :m] = tw.pair_off[r0 : r0 + m] - gp0
+            cum_l[r, : gp1 - gp0] = tw.cum[gp0:gp1]
+            real_pairs = int(gp1 - gp0)
+        else:
+            real_pairs = 0
+        # sentinel row absorbs remaining points
+        sent_pts = pad_pts - (int(np_l[r, :chunk].sum()) + chunk)
+        np_l[r, chunk] = sent_pts - 1
+        po_l[r, chunk] = real_pairs
+        seg_id, k_local, _ = CL.make_point_index(np_l[r])
+        seg_l[r] = seg_id
+        k_l[r] = k_local
+
+    tables = dict(out)
+    tables.update(npairs=np_l, pair_off=po_l, cum=cum_l, seg_id=seg_l, k_local=k_l)
+    return tables, dict(n=n, chunk=chunk, n_dev=n_dev)
+
+
+@functools.lru_cache(maxsize=8)
+def _classify_step(mesh: Mesh, tspace: int, aln_threshold: int, theta: int, theta2: int):
+    from hinge_tpu.ops import classify as CL
+
+    spec = _flat_mesh_spec(mesh)
+
+    def step(a_s, a_e, b_s, b_e, rc, ears, eare, ebrs, ebre,
+             npairs, pair_off, cum, seg_id, k_local):
+        (a_s, a_e, b_s, b_e, rc, ears, eare, ebrs, ebre, npairs, cum,
+         seg_id, k_local) = (
+            x.reshape(-1) for x in (
+                a_s, a_e, b_s, b_e, rc, ears, eare, ebrs, ebre, npairs, cum,
+                seg_id, k_local)
+        )
+        pair_off = pair_off.reshape(-1)
+        eams, eame, ebms, ebme, act = CL.trim_overlaps(
+            a_s, a_e, b_s, b_e, rc, ears, eare, ebrs, ebre,
+            npairs, pair_off, cum, seg_id, k_local, tspace=tspace,
+        )
+        too_short = ((ebme - ebms) < aln_threshold) | ((eame - eams) < aln_threshold)
+        active = act & ~too_short
+        mtype = CL.add_types_asymmetric(
+            eams, eame, ebms, ebme, ears, eare, ebrs, ebre, rc, theta, theta2
+        )
+        mtype = jnp.where(active, mtype, CL.NOT_ACTIVE).astype(jnp.int32)
+        return (eams[None], eame[None], ebms[None], ebme[None],
+                active[None], mtype[None])
+
+    fn = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec,) * 14,
+        out_specs=(spec,) * 6,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_sharded_classify(
+    a_start, a_end, b_start, b_end, rc,
+    ears, eare, ebrs, ebre,
+    tw,
+    mesh: Mesh,
+    *,
+    tspace: int,
+    aln_threshold: int,
+    theta: int,
+    theta2: int,
+):
+    """Sharded batched ProcessAlignment (trim_overlap + AddTypesAsymmetric +
+    length filter, maximal.cpp:65-134) over the full device mesh.
+
+    eff-mask values (`ears..ebre`) are per-overlap gathers done host-side.
+    Returns numpy (eams, eame, ebms, ebme, active, mtype) in input order,
+    bit-identical to the single-device kernels.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    cols = dict(
+        a_s=a_start, a_e=a_end, b_s=b_start, b_e=b_end, rc=rc,
+        ears=ears, eare=eare, ebrs=ebrs, ebre=ebre,
+    )
+    tables, meta = _shard_overlap_tables(cols, tw, n_dev)
+    step = _classify_step(mesh, tspace, aln_threshold, theta, theta2)
+    sh = NamedSharding(mesh, _flat_mesh_spec(mesh))
+    order = ("a_s", "a_e", "b_s", "b_e", "rc", "ears", "eare", "ebrs", "ebre",
+             "npairs", "pair_off", "cum", "seg_id", "k_local")
+    args = tuple(jax.device_put(tables[k], sh) for k in order)
+    outs = step(*args)
+    n, chunk = meta["n"], meta["chunk"]
+    return tuple(
+        np.asarray(o).reshape(n_dev, chunk + 1)[:, :chunk].reshape(-1)[:n]
+        for o in outs
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _matchpos_step(mesh: Mesh, tspace: int):
+    from hinge_tpu.ops import classify as CL
+
+    spec = _flat_mesh_spec(mesh)
+
+    def step(ov_idx, pos_a, a_s, a_e, b_s, b_e, rc, npairs, pair_off, cum):
+        (ov_idx, pos_a, a_s, a_e, b_s, b_e, rc, npairs, cum) = (
+            x.reshape(-1)
+            for x in (ov_idx, pos_a, a_s, a_e, b_s, b_e, rc, npairs, cum)
+        )
+        pair_off = pair_off.reshape(-1)
+        res = CL.matching_position(
+            ov_idx, pos_a, a_s, a_e, b_s, b_e, rc, npairs, pair_off, cum,
+            tspace=tspace,
+        )
+        return res[None]
+
+    fn = jax.shard_map(
+        step, mesh=mesh, in_specs=(spec,) * 10, out_specs=spec, check_vma=False
+    )
+    return jax.jit(fn)
+
+
+def run_sharded_matching_position(
+    ov_idx, pos_a,
+    a_start, a_end, b_start, b_end, rc,
+    tw,
+    mesh: Mesh,
+    *,
+    tspace: int,
+):
+    """Sharded batched GetMatchingPosition (LAInterface.cpp:4498-4546).
+
+    Overlap tables shard by contiguous row ranges; each query is routed to
+    the shard owning its overlap and its `ov_idx` remapped to a local index.
+    Returns int32 results in the input query order, bit-identical to
+    `ops.classify.matching_position`.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    cols = dict(a_s=a_start, a_e=a_end, b_s=b_start, b_e=b_end, rc=rc)
+    tables, meta = _shard_overlap_tables(cols, tw, n_dev)
+    chunk = meta["chunk"]
+
+    nq = len(ov_idx)
+    owner = np.minimum(np.asarray(ov_idx, dtype=np.int64) // chunk, n_dev - 1)
+    per = np.bincount(owner, minlength=n_dev)
+    qpad = max(1, int(per.max()))
+    q_idx = np.full((n_dev, qpad), chunk, dtype=np.int32)  # sentinel row
+    q_pos = np.zeros((n_dev, qpad), dtype=np.int32)
+    slot_src = np.zeros((n_dev, qpad), dtype=np.int64)
+    fill = np.zeros(n_dev, dtype=np.int64)
+    for qi in range(nq):
+        r = owner[qi]
+        s = fill[r]
+        q_idx[r, s] = ov_idx[qi] - r * chunk
+        q_pos[r, s] = pos_a[qi]
+        slot_src[r, s] = qi
+        fill[r] = s + 1
+
+    step = _matchpos_step(mesh, tspace)
+    sh = NamedSharding(mesh, _flat_mesh_spec(mesh))
+    order = ("a_s", "a_e", "b_s", "b_e", "rc", "npairs", "pair_off", "cum")
+    args = (jax.device_put(q_idx, sh), jax.device_put(q_pos, sh)) + tuple(
+        jax.device_put(tables[k], sh) for k in order
+    )
+    res = np.asarray(step(*args))
+    out = np.zeros(nq, dtype=np.int32)
+    for r in range(n_dev):
+        m = int(fill[r])
+        out[slot_src[r, :m]] = res[r, :m]
+    return out
+
+
+def sharded_top_k_per_pair(ov, k: int, n_shards: int) -> np.ndarray:
+    """Per-(A,B) top-k selection partitioned at A-read boundaries.
+
+    Mirrors the reference's --mlas sharding (records sorted by a_id,
+    processed part by part): shard boundaries snap to a_id changes so no
+    read's pair groups split, making per-shard `top_k_per_pair` results
+    concatenate into exactly the global emission order (a ascending, then
+    per-a unordered_map order — both shard-local properties).
+    """
+    from hinge_tpu.ops.pairs import top_k_per_pair
+
+    n = ov.n
+    if n == 0 or n_shards <= 1:
+        return top_k_per_pair(ov, k)
+    cuts = [0]
+    for s in range(1, n_shards):
+        c = s * n // n_shards
+        # snap forward to the next a_id boundary
+        while c < n and c > 0 and ov.a_id[c] == ov.a_id[c - 1]:
+            c += 1
+        if c > cuts[-1]:
+            cuts.append(c)
+    cuts.append(n)
+    parts = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        if hi <= lo:
+            continue
+        sub = ov.take(np.arange(lo, hi))
+        parts.append(top_k_per_pair(sub, k) + lo)
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
