@@ -68,4 +68,10 @@ link draft_assembly "$OBJ/draft.o" $LIBS $FALCON
 cxx_obj consensus "$REF/src/consensus/consensus.cpp"
 link consensus    "$OBJ/consensus.o" $LIBS $FALCON
 
+# QV codec harness (compress .quiva with the vendored QV.c for round-trip
+# tests of hinge_tpu/io/qv.py)
+if [ ! -f "$OUT/qv_harness" ] || [ "$HERE/qv_harness.c" -nt "$OUT/qv_harness" ]; then
+    gcc $CFLAGS "$HERE/qv_harness.c" "$OBJ/QV.o" "$OBJ/DB.o" -lm -o "$OUT/qv_harness"
+fi
+
 echo "refbuild: binaries in $OUT"
