@@ -174,6 +174,12 @@ class LayoutParams:
     use_two_matches: bool = True
     keep_only_matches_between_maximal_reads: bool = True
     del_telomeres: bool = False
+    # REFERENCE QUIRK: filter.cpp:406 reads the SINGULAR key
+    # "layout/del_telomere" for flag writing, while hinging.cpp:803 and
+    # pruning_and_clipping.py:1268 read the PLURAL "del_telomeres" — the
+    # yeast_W303 demo ini sets only the singular, so only the filter-stage
+    # cov.flag/self.flag path triggers there.
+    del_telomere: bool = False
     # read by clip (pruning_and_clipping.py:1259-1277)
     max_plasmid_length: int = 500000
     aggressive_pruning: bool = False
@@ -261,6 +267,7 @@ class Config:
             r.get_integer("layout", "keep_only_matches_between_maximal_reads", 1)
         )
         lay.del_telomeres = bool(r.get_integer("layout", "del_telomeres", 0))
+        lay.del_telomere = bool(r.get_integer("layout", "del_telomere", 0))
         # clip reads these two via configparser.getint: trailing junk -> default
         try:
             lay.max_plasmid_length = r.getint_strict("layout", "max_plasmid_length")

@@ -46,6 +46,28 @@ class SimParams:
     qv_bad: int = 45  # simulated QV for bad segments (>= 40)
     bad_end_len: int = 0  # bases of bad-QV garbage at read ends
     seed: int = 0
+    # Multi-chromosome mode (the yeast_W303 workload shape,
+    # demo/yeast_W303_demo): >=1 LINEAR chromosomes laid out consecutively in
+    # one coordinate space; reads never cross a chromosome boundary.  When
+    # set, genome_len/circular are derived (sum of lengths, linear).
+    chromosomes: Tuple[int, ...] = ()
+    # identical telomeric block at both ends of every chromosome (all 2C
+    # blocks are copies of each other, like the genome-wide TG repeat);
+    # reads piling up across all ends is exactly what del_telomere=1 flags
+    telomere_len: int = 0
+    # tandem unit inside the telomeric block: enables intra-read
+    # self-alignments at shifts k*unit (filter.cpp:537-561 self.flag)
+    telomere_unit: int = 0
+    # deterministic extra reads appended after random sampling:
+    # (genome_start, length, strand) — e.g. guaranteed telomere-spanning
+    # long reads for the yeast workload
+    extra_reads: Tuple[Tuple[int, int, int], ...] = ()
+    # cap on CROSS-end telomere match length (0 = uncapped).  Real telomeric
+    # repeats are short/diverged relative to aln_threshold, so cross-
+    # chromosome matches fragment below the layout length filter — which is
+    # exactly what keeps chromosomes from fusing through their telomeres;
+    # same-end pileups and intra-read tandem self-matches stay full length.
+    telomere_cross_cap: int = 0
 
 
 @dataclasses.dataclass
@@ -59,8 +81,40 @@ class SimRead:
     chimeric: bool = False
 
 
+def chrom_offsets(p: SimParams) -> List[Tuple[int, int]]:
+    """Per-chromosome (offset, length) in the concatenated coordinate space."""
+    out = []
+    off = 0
+    for L in p.chromosomes:
+        out.append((off, L))
+        off += L
+    return out
+
+
+def telomere_regions(p: SimParams) -> List[Tuple[int, int]]:
+    """All (start, length) telomeric blocks — two per chromosome."""
+    if not p.chromosomes or p.telomere_len <= 0:
+        return []
+    T = p.telomere_len
+    regs = []
+    for off, L in chrom_offsets(p):
+        regs.append((off, T))
+        regs.append((off + L - T, T))
+    return regs
+
+
 def make_genome(p: SimParams, rng: np.random.Generator) -> np.ndarray:
     g = rng.integers(0, 4, size=p.genome_len, dtype=np.uint8)
+    regs = telomere_regions(p)
+    if regs:
+        T = p.telomere_len
+        if p.telomere_unit > 0:
+            unit = rng.integers(0, 4, size=p.telomere_unit, dtype=np.uint8)
+            block = np.tile(unit, T // p.telomere_unit + 1)[:T]
+        else:
+            block = rng.integers(0, 4, size=T, dtype=np.uint8)
+        for start, length in regs:
+            g[start : start + length] = block[:length]
     for src, dst, length in p.repeats:
         g[dst : dst + length] = g[src : src + length]
     return g
@@ -106,6 +160,23 @@ def _apply_errors(
     return seg, gpos
 
 
+def _sample_linear_span(p: SimParams, rng: np.random.Generator, length: int):
+    """(global start, clamped length) for a span inside ONE chromosome
+    (multi-chromosome mode) or the single linear genome."""
+    if p.chromosomes:
+        offs = chrom_offsets(p)
+        # chromosome picked proportional to its length
+        lens = np.array([L for _, L in offs], dtype=np.float64)
+        ci = int(rng.choice(len(offs), p=lens / lens.sum()))
+        off, L = offs[ci]
+        if length >= L:
+            length = L - 1
+        return off + int(rng.integers(0, L - length)), length
+    if length >= p.genome_len:
+        length = p.genome_len - 1
+    return int(rng.integers(0, p.genome_len - length)), length
+
+
 def sample_reads(p: SimParams, rng: np.random.Generator, genome: np.ndarray) -> List[SimRead]:
     n_bases_target = int(p.coverage * p.genome_len)
     reads: List[SimRead] = []
@@ -117,16 +188,15 @@ def sample_reads(p: SimParams, rng: np.random.Generator, genome: np.ndarray) -> 
         if p.circular:
             start = int(rng.integers(0, p.genome_len))
         else:
-            if length >= p.genome_len:
-                length = p.genome_len - 1
-            start = int(rng.integers(0, p.genome_len - length))
+            start, length = _sample_linear_span(p, rng, length)
         strand = int(rng.integers(0, 2))
         if chim:
             # two unrelated segments joined; gmap still recorded per-half
             l1 = length // 2
-            s2 = int(rng.integers(0, p.genome_len - (length - l1) - 1)) if not p.circular else int(
-                rng.integers(0, p.genome_len)
-            )
+            if p.circular:
+                s2 = int(rng.integers(0, p.genome_len))
+            else:
+                s2, _ = _sample_linear_span(p, rng, length - l1)
             seg1 = g2[start : start + l1].astype(np.uint8)
             gp1 = (np.arange(start, start + l1) % p.genome_len).astype(np.int64)
             seg2 = g2[s2 : s2 + (length - l1)].astype(np.uint8)
@@ -149,6 +219,15 @@ def sample_reads(p: SimParams, rng: np.random.Generator, genome: np.ndarray) -> 
             )
         )
         total += len(codes)
+    for start, length, strand in p.extra_reads:
+        seg = g2[start : start + length].astype(np.uint8)
+        gpos = (np.arange(start, start + length) % p.genome_len).astype(np.int64)
+        seg, gpos = _apply_errors(seg, gpos, p, rng)
+        codes = seg if strand == 0 else (3 - seg[::-1]).astype(np.uint8)
+        reads.append(
+            SimRead(start=start, end=start + length, strand=strand,
+                    codes=codes, gmap=gpos)
+        )
     return reads
 
 
@@ -195,6 +274,30 @@ def exact_overlaps(
     for src, dst, L in p.repeats:
         specs.append((src - dst, src, src + L))
         specs.append((dst - src, dst, dst + L))
+    # telomere homology: every block is a copy of every other (all ordered
+    # pairs), plus intra-block tandem shifts k*unit for self-alignments
+    tregs = telomere_regions(p)
+    for s1, T1 in tregs:
+        for s2, T2 in tregs:
+            if s1 != s2:
+                T = min(T1, T2)
+                cap = p.telomere_cross_cap
+                if cap > 0:
+                    # fragment cross-end homology into <=cap windows with
+                    # 100bp divergence gaps (diverged repeat copies)
+                    w = s1
+                    while w < s1 + T:
+                        specs.append((s1 - s2, w, min(w + cap, s1 + T)))
+                        w += cap + 100
+                else:
+                    specs.append((s1 - s2, s1, s1 + T))
+        if p.telomere_unit > 0:
+            u = p.telomere_unit
+            k = 1
+            while k * u + p.min_overlap <= T1:
+                specs.append((k * u, s1 + k * u, s1 + T1))
+                specs.append((-k * u, s1, s1 + T1 - k * u))
+                k += 1
 
     n = len(reads)
     # flat segment table: (read, sa0, sa1, g0, g1); candidate pairs found by
@@ -358,6 +461,10 @@ def make_read_store(reads: List[SimRead], p: SimParams, rng: np.random.Generator
 
 def simulate(p: SimParams):
     """Full synthetic dataset: (genome, reads, ReadStore, OverlapStore)."""
+    if p.chromosomes:
+        p = dataclasses.replace(
+            p, genome_len=int(sum(p.chromosomes)), circular=False
+        )
     rng = np.random.default_rng(p.seed)
     genome = make_genome(p, rng)
     reads = sample_reads(p, rng, genome)

@@ -136,7 +136,9 @@ def run_filter(
         has_qv = rs.has_qv()
     use_qv_mask = f.use_qv and has_qv
     use_coverage_mask = f.coverage
-    delete_telomere = cfg.layout.del_telomeres
+    # filter.cpp:406 reads the SINGULAR "del_telomere" key (hinging/clip use
+    # the plural) — the yeast demo ini sets only the singular
+    delete_telomere = cfg.layout.del_telomere
 
     tspace = parts[0].tspace if parts else 100
     QV_mask = qv_masks_all(rs, tspace, f.qv_threshold) if has_qv else np.zeros((n_read, 2), np.int32)

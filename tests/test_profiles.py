@@ -25,6 +25,7 @@ theta = 300;
 [layout]
 hinge_slack = 1000
 min_connected_component_size = 8
+del_telomere = 1
 del_telomeres = 1
 aggressive_pruning = 1
 
