@@ -69,7 +69,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "map_block_hits"):
             lib.map_block_hits.restype = c.c_int64
         for fn in ("minimizers_batch", "index_sort_filter", "emit_records",
-                   "myers_align_batch", "falcon_cns_batch"):
+                   "myers_align_batch", "falcon_cns_batch", "mirror_traces",
+                   "scatter_copy_u16"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
         if hasattr(lib, "dalign_rows_batch"):

@@ -1310,3 +1310,131 @@ int64_t falcon_cns_batch(const int32_t* tags, const int64_t* win_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Mirrored (j,i) twin traces for the built-in overlapper
+// (hinge_tpu/overlap/mapper.py overlap_reads/_mirror_all): every canonical
+// record's B-grid trace is interpolated along its (A, W) anchor lattice with
+// a telescoping correction so displacements sum exactly to the A span.
+// One linear two-pointer pass per record replaces the numpy segmented
+// searchsorted/interp soup (the overlap stage's single largest host cost).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t mirror_traces(const int32_t* a0, const int32_t* a1, const int32_t* b0,
+                      const int32_t* b1, const int32_t* rc,
+                      const int32_t* tlen, const int64_t* trace_off,
+                      const uint16_t* trace, int64_t n, int32_t tspace,
+                      const int64_t* m_off,  // [n] uint16 offsets for outputs
+                      uint16_t* m_trace, int32_t n_threads) {
+  if (n <= 0) return 0;
+  int64_t nt = n_threads > 0 ? n_threads : 1;
+  if (nt > n) nt = n;
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    std::vector<int64_t> Wasc, Aasc, dm;
+    while (true) {
+      const int64_t c0 = next.fetch_add(kChunk);
+      if (c0 >= n) break;
+      const int64_t c1 = std::min(c0 + kChunk, n);
+      for (int64_t r = c0; r < c1; r++) {
+        const int64_t nd = tlen[r] / 2;  // displacement count
+        const int64_t A0 = a0[r], A1 = a1[r], B0 = b0[r], B1 = b1[r];
+        const uint16_t* tr = trace + trace_off[r];
+        // ascending-W anchors (reverse the lattice for rc records)
+        Wasc.assign(nd + 1, 0);
+        Aasc.assign(nd + 1, 0);
+        const int64_t w0 = rc[r] ? B1 : B0;
+        const int64_t wend = rc[r] ? B0 : B1;
+        const int64_t sign = rc[r] ? -1 : 1;
+        int64_t cum = 0;
+        for (int64_t k = 0; k <= nd; k++) {
+          int64_t W, A;
+          if (k == 0) {
+            W = w0;
+            A = A0;
+          } else if (k == nd) {
+            W = wend;
+            A = A1;
+          } else {
+            W = w0 + sign * cum;
+            A = (A0 / tspace + k) * tspace;
+          }
+          if (k < nd) cum += tr[2 * k + 1];
+          const int64_t dst = rc[r] ? nd - k : k;
+          Wasc[dst] = W;
+          Aasc[dst] = A;
+        }
+        // B-grid bounds + interpolation, two-pointer over ascending anchors
+        const int64_t nbB =
+            std::max((B1 - 1) / tspace - B0 / tspace, (int64_t)0) + 2;
+        dm.assign(nbB - 1, 0);
+        int64_t jh = 0;
+        int64_t prev_bar = 0;
+        int64_t dsum = 0;
+        for (int64_t j = 0; j < nbB; j++) {
+          int64_t bnd;
+          if (j == 0)
+            bnd = B0;
+          else if (j == nbB - 1)
+            bnd = B1;
+          else
+            bnd = (B0 / tspace + j) * tspace;
+          while (jh + 1 <= nd && Wasc[jh + 1] <= bnd) jh++;
+          double a_at;
+          if (jh < nd) {
+            const int64_t denom = std::max(Wasc[jh + 1] - Wasc[jh], (int64_t)1);
+            const double frac = (double)(bnd - Wasc[jh]) / (double)denom;
+            a_at = (double)Aasc[jh] + frac * (double)(Aasc[jh + 1] - Aasc[jh]);
+          } else {
+            a_at = (double)Aasc[jh];
+          }
+          const int64_t bar = (int64_t)rint(a_at);  // half-even, == np.round
+          if (j > 0) {
+            int64_t d = bar - prev_bar;
+            if (d < 0) d = -d;
+            dm[j - 1] = d;
+            dsum += d;
+          }
+          prev_bar = bar;
+        }
+        // telescoping fold so displacements sum exactly to the A span
+        const int64_t delta = (A1 - A0) - dsum;
+        dm[nbB - 2] = std::max((int64_t)0, dm[nbB - 2] + delta);
+        uint16_t* out = m_trace + m_off[r];
+        for (int64_t j = 0; j < nbB - 1; j++) {
+          int64_t v = dm[j];
+          if (v > 65534) v = 65534;
+          out[2 * j] = 0;
+          out[2 * j + 1] = (uint16_t)v;
+        }
+      }
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Segmented uint16 copy: dst[dst_off[r] .. +len[r]) = src[src_off[r] ..)
+// — the record-interleave step of overlap_reads, minus the numpy
+// repeat/arange temporaries.
+int64_t scatter_copy_u16(const uint16_t* src, const int64_t* src_off,
+                         const int64_t* lens, uint16_t* dst,
+                         const int64_t* dst_off, int64_t n) {
+  for (int64_t r = 0; r < n; r++) {
+    if (lens[r] > 0)
+      memcpy(dst + dst_off[r], src + src_off[r],
+             (size_t)lens[r] * sizeof(uint16_t));
+  }
+  return 0;
+}
+
+}  // extern "C"

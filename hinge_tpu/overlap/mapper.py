@@ -22,6 +22,7 @@ stage exactly like `.las` input.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -775,21 +776,24 @@ def overlap_reads(
         tot = int(lens.sum())
         if tot == 0:
             continue
-        rows = np.repeat(np.arange(base.n, dtype=np.int64), lens)
-        intra = np.arange(tot, dtype=np.int64) - np.repeat(
-            np.cumsum(lens) - lens, lens)
-        trace[np.asarray(dst_off)[rows] + intra] = src[
-            np.asarray(src_off)[rows] + intra]
+        if not _native_scatter_copy(src, src_off, lens, trace, dst_off):
+            rows = np.repeat(np.arange(base.n, dtype=np.int64), lens)
+            intra = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            trace[np.asarray(dst_off)[rows] + intra] = src[
+                np.asarray(src_off)[rows] + intra]
     return OverlapStore.from_arrays(
         tspace=tspace, trace=trace, tlen=tlen, **cols,
     ).sort_by_a()
 
 
 def _mirror_all(base: OverlapStore, tspace: int):
-    """Vectorized (j,i) twins of every record in `base` (mapper output
-    convention: per-record trace displacements at odd positions): B-grid
-    trace points interpolated along each record's (A, W) lattice, with a
-    telescoping correction so displacements sum exactly to the A span.
+    """(j,i) twins of every record in `base` (mapper output convention:
+    per-record trace displacements at odd positions): B-grid trace points
+    interpolated along each record's (A, W) lattice, with a telescoping
+    correction so displacements sum exactly to the A span.  Native C fast
+    path (one linear two-pointer pass per record, io_native.cpp
+    mirror_traces) with the vectorized numpy body as fallback/oracle.
     Returns (cols dict, flat trace, per-record tlen)."""
     n = base.n
     a0 = base.a_start.astype(np.int64)
@@ -805,6 +809,11 @@ def _mirror_all(base: OverlapStore, tspace: int):
     )
     if n == 0:
         return cols, np.zeros(0, np.uint16), np.zeros(0, np.int64)
+
+    native = _native_mirror_all(base, tspace, b0, b1)
+    if native is not None:
+        m_trace, m_tlen = native
+        return cols, m_trace, m_tlen
 
     # ---- A/W anchor lattice per record (cf. _lattice) ----
     nd = base.tlen.astype(np.int64) // 2  # displacement count
@@ -880,4 +889,61 @@ def _mirror_all(base: OverlapStore, tspace: int):
     trace = np.zeros(2 * len(dmv), dtype=np.uint16)
     trace[1::2] = dmv
     return cols, trace, 2 * (nbB - 1)
+
+
+def _native_scatter_copy(src, src_off, lens, dst, dst_off) -> bool:
+    """Segmented uint16 copy via io_native scatter_copy_u16; False without
+    the native library (caller falls back to the numpy scatter)."""
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "scatter_copy_u16"):
+        return False
+    import ctypes as c
+
+    pu16 = c.POINTER(c.c_uint16)
+    p64 = c.POINTER(c.c_int64)
+    src = np.ascontiguousarray(src, dtype=np.uint16)
+    so = np.ascontiguousarray(src_off, dtype=np.int64)
+    ln = np.ascontiguousarray(lens, dtype=np.int64)
+    do = np.ascontiguousarray(dst_off, dtype=np.int64)
+    lib.scatter_copy_u16(
+        src.ctypes.data_as(pu16), so.ctypes.data_as(p64),
+        ln.ctypes.data_as(p64), dst.ctypes.data_as(pu16),
+        do.ctypes.data_as(p64), c.c_int64(len(ln)),
+    )
+    return True
+
+
+def _native_mirror_all(base: OverlapStore, tspace: int, b0, b1):
+    """(flat mirror trace, per-record tlen) via io_native mirror_traces, or
+    None without the native library."""
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mirror_traces"):
+        return None
+    import ctypes as c
+
+    nbB = np.maximum((b1 - 1) // tspace - b0 // tspace, 0) + 2
+    m_tlen = 2 * (nbB - 1)
+    m_off = np.zeros(base.n, dtype=np.int64)
+    np.cumsum(m_tlen[:-1], out=m_off[1:])
+    m_trace = np.zeros(int(m_tlen.sum()), dtype=np.uint16)
+    p32 = c.POINTER(c.c_int32)
+    p64 = c.POINTER(c.c_int64)
+    pu16 = c.POINTER(c.c_uint16)
+    args = [np.ascontiguousarray(x, dtype=np.int32) for x in (
+        base.a_start, base.a_end, base.b_start, base.b_end, base.rc, base.tlen)]
+    toff = np.ascontiguousarray(base.trace_off, dtype=np.int64)
+    tr = np.ascontiguousarray(base.trace, dtype=np.uint16)
+    lib.mirror_traces(
+        *(a.ctypes.data_as(p32) for a in args[:5]),
+        args[5].ctypes.data_as(p32),
+        toff.ctypes.data_as(p64), tr.ctypes.data_as(pu16),
+        c.c_int64(base.n), c.c_int32(tspace),
+        m_off.ctypes.data_as(p64), m_trace.ctypes.data_as(pu16),
+        c.c_int32(os.cpu_count() or 1),
+    )
+    return m_trace, m_tlen
 

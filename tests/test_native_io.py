@@ -171,3 +171,49 @@ def test_native_emit_records_matches_numpy(lib):
         np.testing.assert_array_equal(getattr(ov_nat, f), getattr(ov_np, f),
                                       err_msg=f)
     np.testing.assert_array_equal(ov_nat.trace, ov_np.trace)
+
+
+def test_native_mirror_traces_matches_numpy(lib, small_sim):
+    """mirror_traces (io_native.cpp) vs the vectorized numpy _mirror_all:
+    byte-identical twin traces including the telescoping fold and the
+    half-even rounding of interpolated anchors."""
+    import hinge_tpu.native as hn
+    from hinge_tpu.overlap import mapper
+
+    if not hasattr(lib, "mirror_traces"):
+        pytest.skip("native lib predates mirror_traces")
+    ov = small_sim["overlaps"]
+    sel = np.nonzero(ov.a_id <= ov.b_id)[0]
+    base = ov.take(sel)
+
+    cols_n, tr_n, tl_n = mapper._mirror_all(base, ov.tspace)
+    real = mapper._native_mirror_all
+    mapper._native_mirror_all = lambda *a, **k: None
+    try:
+        cols_p, tr_p, tl_p = mapper._mirror_all(base, ov.tspace)
+    finally:
+        mapper._native_mirror_all = real
+    np.testing.assert_array_equal(np.asarray(tl_n), np.asarray(tl_p))
+    np.testing.assert_array_equal(tr_n, tr_p)
+    for k in cols_n:
+        np.testing.assert_array_equal(cols_n[k], cols_p[k], err_msg=k)
+
+
+def test_native_scatter_copy(lib):
+    if not hasattr(lib, "scatter_copy_u16"):
+        pytest.skip("native lib predates scatter_copy_u16")
+    from hinge_tpu.overlap.mapper import _native_scatter_copy
+
+    rng = np.random.default_rng(0)
+    lens = rng.integers(0, 9, 64).astype(np.int64)
+    src_off = np.cumsum(lens) - lens
+    src = rng.integers(0, 65535, int(lens.sum())).astype(np.uint16)
+    # shuffled destination layout with gaps
+    dst_off = (np.cumsum(lens + 2) - (lens + 2)).astype(np.int64)
+    dst = np.zeros(int((lens + 2).sum()), dtype=np.uint16)
+    assert _native_scatter_copy(src, src_off, lens, dst, dst_off)
+    for r in range(64):
+        np.testing.assert_array_equal(
+            dst[dst_off[r] : dst_off[r] + lens[r]],
+            src[src_off[r] : src_off[r] + lens[r]],
+        )
