@@ -439,7 +439,31 @@ def _align_ladder_pairs(pair_q, pair_t, band):
     Identical pairs short-circuit (_align consumes equal strings fully with
     zero diffs, so the rows are the inputs).  The rest run the exact native
     kernel (partial rows, no pads — the unconsumed template tail must stay
-    untagged for falcon-vote parity, draft.cpp:636-677)."""
+    untagged for falcon-vote parity, draft.cpp:636-677).
+
+    HINGE_FAST_ALIGN=1 switches the non-identical windows to the Pallas
+    banded-NW TPU kernel (ops/pallas_band_nw) — optimal-cost rows, BETTER
+    alignments than the reference's greedy band (fewer edits -> cleaner
+    falcon votes) but NOT byte-identical to the reference draft output;
+    leave it off when reference parity matters."""
+    import os as _os
+
+    if _os.environ.get("HINGE_FAST_ALIGN", "0") == "1":
+        from hinge_tpu.ops.pallas_band_nw import band_align_batch
+
+        rows: List = [None] * len(pair_q)
+        todo = []
+        for k, (qv, tv) in enumerate(zip(pair_q, pair_t)):
+            if len(qv) == len(tv) and np.array_equal(qv, tv):
+                rows[k] = (qv, tv)
+            else:
+                todo.append(k)
+        if todo:
+            for k, r in zip(todo, band_align_batch(
+                    [pair_q[k] for k in todo], [pair_t[k] for k in todo])):
+                rows[k] = r
+        return rows
+
     rows: List = [None] * len(pair_q)
     todo = []
     for k, (qv, tv) in enumerate(zip(pair_q, pair_t)):
