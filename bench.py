@@ -73,9 +73,10 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
         cov_cut = C.profile_coverage(
             a_id, a_start, a_end, jnp.int32(CUT_OFF), n_reads=N_READS, nb=nb, reso=RESO
         )
-        me, cnt = C.pileup_stats(a_id, a_start, a_end, n_reads=N_READS, nb=1, reso=RESO)
+        me, mst, cnt = C.pileup_stats(a_id, a_start, a_end, n_reads=N_READS, nb=1, reso=RESO)
         ne = C.n_entries_from_max_event(me, cnt, RESO)
-        ne_cut = C.n_entries_from_max_event(me - CUT_OFF, cnt, RESO)
+        ne_cut = C.n_entries_from_max_event(
+            jnp.maximum(me - CUT_OFF, mst + CUT_OFF), cnt, RESO)
         ms, mev, _, _ = C.coverage_mask(
             jnp.maximum(cov_cut - MIN_COV, 0), ne_cut, reso=RESO
         )

@@ -161,8 +161,16 @@ def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[
         raise ValueError(f"{path}: truncated las file")
     if rcode == -3:
         raise ValueError(f"{path}: trailing bytes after records")
-    if rcode != 0:
+    if rcode == -1:
+        # unreadable / too-short file: let the numpy path raise its own
+        # (more specific) error so behavior matches the no-toolchain case
         return None
+    if rcode != 0:
+        raise ValueError(
+            f"{path}: native las_scan failed (rcode {rcode}) — not falling "
+            "back silently; delete hinge_tpu/native/build to force the "
+            "numpy reader if the file is believed good"
+        )
     n = int(novl.value)
     cols = {k: np.zeros(n, dtype=INT) for k in (
         "a_id b_id a_len b_len a_start a_end b_start b_end rc diffs tlen".split()
@@ -191,7 +199,13 @@ def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[
         ptr(trace, ctypes.c_uint16),
     )
     if rcode != 0:
-        return None
+        # scan succeeded but parse disagreed: that is a native-path bug or a
+        # file mutated between the two passes — surface it instead of
+        # masking it as a slow numpy success (round-1 review weak spot #8)
+        raise ValueError(
+            f"{path}: native las_parse failed after a successful scan "
+            f"(rcode {rcode})"
+        )
     return OverlapStore(
         trace_off=trace_off, trace=trace, tspace=int(tspace.value), **cols
     )

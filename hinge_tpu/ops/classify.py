@@ -248,7 +248,10 @@ def matching_position(
 
     # smallest j >= 0 with A_{j+1} = (base+j+1)*tspace >= pos
     j_raw = jnp.floor_divide(pos_a + tspace - 1, tspace) - base - 1
-    exhausted = j_raw > P - 2  # scalar loop ran out (incl. P <= 1)
+    # exhausted = the scalar loop ran out: no j in [0, P-2] qualifies.  P=1
+    # runs zero iterations, so it is ALWAYS exhausted — even when j_raw is
+    # -1 (pos == a_start on a tspace multiple), found by property fuzzing
+    exhausted = (j_raw > P - 2) | (P <= 1)
     j = jnp.clip(jnp.where(exhausted, P - 1, jnp.maximum(j_raw, 0)), 0, None)
     A_j = jnp.where(j == 0, a0, (base + j) * tspace)
     cidx = pair_off[ov_idx] + jnp.maximum(j - 1, 0)

@@ -79,12 +79,17 @@ def pileup_stats(
     nb: int,
     reso: int,
 ):
-    """max(a_end) per read (drives n_entries) and overlap counts per read."""
+    """max(a_end) and max(a_start) per read (drive n_entries) and overlap
+    counts per read.  BOTH maxima matter: profileCoverage's bin loop runs to
+    the maximum event of EITHER kind, and with a cutoff a short overlap's
+    start+cutoff can exceed every end-cutoff (found by property fuzzing)."""
     maxend = jnp.zeros((n_reads + 1,), dtype=jnp.int32)
     maxend = maxend.at[a_rel].max(a_end, mode="drop")
+    maxstart = jnp.full((n_reads + 1,), jnp.iinfo(jnp.int32).min, dtype=jnp.int32)
+    maxstart = maxstart.at[a_rel].max(a_start, mode="drop")
     counts = jnp.zeros((n_reads + 1,), dtype=jnp.int32)
     counts = counts.at[a_rel].add(1, mode="drop")
-    return maxend[:n_reads], counts[:n_reads]
+    return maxend[:n_reads], maxstart[:n_reads], counts[:n_reads]
 
 
 def n_entries_from_max_event(max_event: jnp.ndarray, counts: jnp.ndarray, reso: int) -> jnp.ndarray:

@@ -142,13 +142,18 @@ def sharded_filter_step(
         me = jnp.zeros((reads_chunk + 1,), dtype=jnp.int32).at[a_rel].max(
             a_end, mode="drop"
         )[:reads_chunk]
+        mstart = jnp.full((reads_chunk + 1,), jnp.iinfo(jnp.int32).min,
+                          dtype=jnp.int32).at[a_rel].max(a_start, mode="drop")[:reads_chunk]
         cnt = jnp.zeros((reads_chunk + 1,), dtype=jnp.int32).at[a_rel].add(
             1, mode="drop"
         )[:reads_chunk]
         me = jax.lax.pmax(me, "recs")
+        mstart = jax.lax.pmax(mstart, "recs")
         cnt = jax.lax.psum(cnt, "recs")
         ne = C.n_entries_from_max_event(me, cnt, reso)
-        ne_cut = C.n_entries_from_max_event(me - cut_off, cnt, reso)
+        # clipped profile: start+cutoff events can exceed every end-cutoff
+        ne_cut = C.n_entries_from_max_event(
+            jnp.maximum(me - cut_off, mstart + cut_off), cnt, reso)
 
         reduced = jnp.maximum(cov_cut - min_cov, 0)
         ms, mev, _, _ = C.coverage_mask(reduced, ne_cut, reso=reso)

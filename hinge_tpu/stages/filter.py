@@ -112,10 +112,12 @@ def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
             C.profile_coverage(a_rel, a_s, a_e, jnp.int32(cut_off),
                                n_reads=CHUNK_READS, nb=nb, reso=reso)
         )[:span]
-        me, cnt = C.pileup_stats(a_rel, a_s, a_e, n_reads=CHUNK_READS, nb=1, reso=reso)
+        me, ms, cnt = C.pileup_stats(a_rel, a_s, a_e, n_reads=CHUNK_READS, nb=1, reso=reso)
         ne[base:hi] = np.asarray(C.n_entries_from_max_event(me, cnt, reso))[:span]
+        # clipped profile: start+cutoff events can exceed every end-cutoff
         ne_cut[base:hi] = np.asarray(
-            C.n_entries_from_max_event(me - cut_off, cnt, reso)
+            C.n_entries_from_max_event(
+                jnp.maximum(me - cut_off, ms + cut_off), cnt, reso)
         )[:span]
     return cov, cov_cut, ne, ne_cut
 

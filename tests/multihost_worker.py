@@ -70,7 +70,7 @@ def main():
             jnp.int32(300), n_reads=n_reads, nb=nb, reso=reso,
         )
     )
-    me, cnt = C.pileup_stats(
+    me, _ms, cnt = C.pileup_stats(
         jnp.asarray(a_id), jnp.asarray(a_start), jnp.asarray(a_end),
         n_reads=n_reads, nb=1, reso=reso,
     )

@@ -43,7 +43,7 @@ def test_n_entries(small_sim):
     rs = small_sim["read_store"]
     n_reads = rs.n_reads
     reso = 40
-    me, cnt = C.pileup_stats(
+    me, _ms, cnt = C.pileup_stats(
         jnp.asarray(ov.a_id), jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
         n_reads=n_reads, nb=1, reso=reso,
     )
@@ -65,7 +65,7 @@ def test_coverage_mask_matches_oracle(small_sim):
         jnp.asarray(ov.a_id), jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
         jnp.int32(cutoff), n_reads=n_reads, nb=nb, reso=reso,
     )
-    me, cnt = C.pileup_stats(
+    me, _ms, cnt = C.pileup_stats(
         jnp.asarray(ov.a_id), jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
         n_reads=n_reads, nb=1, reso=reso,
     )
@@ -146,7 +146,7 @@ def test_repeat_annotation_matches_oracle(small_sim):
         jnp.asarray(ov.a_id), jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
         jnp.int32(0), n_reads=n_reads, nb=nb, reso=reso,
     )
-    me_, cnt = C.pileup_stats(
+    me_, _ms, cnt = C.pileup_stats(
         jnp.asarray(ov.a_id), jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
         n_reads=n_reads, nb=1, reso=reso,
     )

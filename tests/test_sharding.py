@@ -39,7 +39,7 @@ def _reference(data, nb, reso=40, cut_off=300, min_cov=5):
             n_reads=n_reads, nb=nb, reso=reso,
         )
     )
-    me, cnt = C.pileup_stats(
+    me, _ms, cnt = C.pileup_stats(
         jnp.asarray(data["a_id"]), jnp.asarray(data["a_start"]),
         jnp.asarray(data["a_end"]), n_reads=n_reads, nb=1, reso=reso,
     )
