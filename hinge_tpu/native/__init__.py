@@ -73,8 +73,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "scatter_copy_u16"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
-        if hasattr(lib, "dalign_rows_batch"):
-            lib.dalign_rows_batch.restype = c.c_int
+        for fn in ("dalign_rows_batch", "dalign_rows_batch_mt",
+                   "dalign_diffs_batch"):
+            if hasattr(lib, fn):
+                getattr(lib, fn).restype = c.c_int
         for fn in ("umap_iter_order", "stdsort_desc_perm",
                    "umap_iter_order_batch", "stdsort_desc_perm_batch"):
             if hasattr(lib, fn):

@@ -300,3 +300,150 @@ int dalign_rows_batch(const uint8_t *abuf, const uint8_t *bbuf,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded variants + diffs-only path (the map stage's fill_window_diffs
+// needs only the per-window edit-column count, not materialized rows).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+// mismatch-column count of one window's alignment: every script entry is an
+// indel column; paired stretches contribute their base mismatches
+// (getAlignmentTags pairs residues between script points).
+static int count_diffs(const uint8_t *A, int M, const uint8_t *B, int N,
+                       const int32_t *script, int slen) {
+    (void)N;
+    int i = 1, j = 1, d = 0;
+    for (int c = 0; c < slen; c++) {
+        int p = script[c];
+        if (p < 0) {
+            p = -p;
+            while (i != p) {
+                d += (A[i - 1] != B[j - 1]);
+                i++; j++;
+            }
+            d++;  // gap column
+            j++;
+        } else {
+            while (j != p) {
+                d += (A[i - 1] != B[j - 1]);
+                i++; j++;
+            }
+            d++;
+            i++;
+        }
+    }
+    while (i <= M) {
+        d += (A[i - 1] != B[j - 1]);
+        i++; j++;
+    }
+    return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// dalign_rows_batch with a worker pool (windows are independent).
+int dalign_rows_batch_mt(const uint8_t *abuf, const uint8_t *bbuf,
+                         const int64_t *a_ptr, const int32_t *a_len,
+                         const int32_t *a_avail,
+                         const int64_t *b_ptr, const int32_t *b_len,
+                         const int32_t *b_avail,
+                         int64_t n_windows,
+                         uint8_t *out_a, uint8_t *out_b,
+                         const int64_t *out_off, int32_t *out_len,
+                         int32_t n_threads) {
+    if (n_windows <= 0) return 0;
+    std::atomic<int> bad(0);
+    std::atomic<int64_t> next(0);
+    const int64_t kChunk = 256;
+    auto worker = [&]() {
+        WaveArena arena;
+        std::vector<int32_t> script;
+        while (true) {
+            const int64_t c0 = next.fetch_add(kChunk);
+            if (c0 >= n_windows) break;
+            const int64_t c1 = std::min(c0 + kChunk, n_windows);
+            for (int64_t n = c0; n < c1; n++) {
+                const int M = a_len[n], N = b_len[n];
+                if (M < 0 || N < 0 || a_avail[n] < 1 || b_avail[n] < 1) {
+                    bad.store(1);
+                    return;
+                }
+                const uint8_t *A = abuf + a_ptr[n];
+                const uint8_t *B = bbuf + b_ptr[n];
+                if (M == 0 && N == 0) { out_len[n] = 0; continue; }
+                script.clear();
+                iter_np_window(A, M, a_avail[n], B, N, arena, script);
+                out_len[n] = emit_rows(A, M, B, N, script.data(),
+                                       static_cast<int>(script.size()),
+                                       out_a + out_off[n], out_b + out_off[n]);
+            }
+        }
+    };
+    int64_t nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_windows) nt = n_windows;
+    if (nt == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < nt; t++) threads.emplace_back(worker);
+        for (auto &th : threads) th.join();
+    }
+    return bad.load() ? -1 : 0;
+}
+
+// Diffs-only batch: same exact wave, but only the per-window mismatch-column
+// count comes back — no row materialization, no output buffers.
+int dalign_diffs_batch(const uint8_t *abuf, const uint8_t *bbuf,
+                       const int64_t *a_ptr, const int32_t *a_len,
+                       const int32_t *a_avail,
+                       const int64_t *b_ptr, const int32_t *b_len,
+                       const int32_t *b_avail,
+                       int64_t n_windows, int32_t *out_diffs,
+                       int32_t n_threads) {
+    if (n_windows <= 0) return 0;
+    std::atomic<int> bad(0);
+    std::atomic<int64_t> next(0);
+    const int64_t kChunk = 256;
+    auto worker = [&]() {
+        WaveArena arena;
+        std::vector<int32_t> script;
+        while (true) {
+            const int64_t c0 = next.fetch_add(kChunk);
+            if (c0 >= n_windows) break;
+            const int64_t c1 = std::min(c0 + kChunk, n_windows);
+            for (int64_t n = c0; n < c1; n++) {
+                const int M = a_len[n], N = b_len[n];
+                if (M < 0 || N < 0 || a_avail[n] < 1 || b_avail[n] < 1) {
+                    bad.store(1);
+                    return;
+                }
+                const uint8_t *A = abuf + a_ptr[n];
+                const uint8_t *B = bbuf + b_ptr[n];
+                if (M == 0 && N == 0) { out_diffs[n] = 0; continue; }
+                script.clear();
+                iter_np_window(A, M, a_avail[n], B, N, arena, script);
+                out_diffs[n] = count_diffs(A, M, B, N, script.data(),
+                                           static_cast<int>(script.size()));
+            }
+        }
+    };
+    int64_t nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_windows) nt = n_windows;
+    if (nt == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < nt; t++) threads.emplace_back(worker);
+        for (auto &th : threads) th.join();
+    }
+    return bad.load() ? -1 : 0;
+}
+
+}  // extern "C"

@@ -291,15 +291,26 @@ class _WindowBatch:
     def __init__(self):
         self.ctx_a: List[np.ndarray] = []
         self.ctx_b: List[np.ndarray] = []
-        self.a_ptr: List[int] = []
-        self.b_ptr: List[int] = []
-        self.a_len: List[int] = []
-        self.b_len: List[int] = []
-        self.a_avail: List[int] = []
-        self.b_avail: List[int] = []
+        # per-RECORD numpy chunks (per-window python appends were a top
+        # host cost at the 10^5-read scale), concatenated once in _flat
+        self._a_ptr: List[np.ndarray] = []
+        self._b_ptr: List[np.ndarray] = []
+        self._a_len: List[np.ndarray] = []
+        self._b_len: List[np.ndarray] = []
+        self._a_avail: List[np.ndarray] = []
+        self._b_avail: List[np.ndarray] = []
+        self._owner: List[np.ndarray] = []
         self._abase = 0
         self._bbase = 0
-        self.owner: List[int] = []
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def owner(self) -> np.ndarray:
+        return (np.concatenate(self._owner)
+                if self._owner else np.zeros(0, np.int64))
 
     def add_overlap(self, owner: int, a_seq: np.ndarray, b_frame: np.ndarray,
                     a_start: int, a_end: int, b_start: int, b_end: int,
@@ -310,31 +321,39 @@ class _WindowBatch:
                                trace_pairs, tspace)
         self.ctx_a.append(ctx_a)
         self.ctx_b.append(ctx_b)
-        for w in range(len(ab) - 1):
-            pa = off_a0 + int(ab[w] - a_start)
-            pb = off_b0 + int(bb[w] - b_start)
-            self.a_ptr.append(self._abase + pa)
-            self.b_ptr.append(self._bbase + pb)
-            self.a_len.append(int(ab[w + 1] - ab[w]))
-            self.b_len.append(int(bb[w + 1] - bb[w]))
-            self.a_avail.append(pa)
-            self.b_avail.append(pb)
-            self.owner.append(owner)
+        ab = np.asarray(ab, dtype=np.int64)
+        bb = np.asarray(bb, dtype=np.int64)
+        pa = off_a0 + (ab[:-1] - a_start)
+        pb = off_b0 + (bb[:-1] - b_start)
+        self._a_ptr.append(self._abase + pa)
+        self._b_ptr.append(self._bbase + pb)
+        self._a_len.append(np.diff(ab))
+        self._b_len.append(np.diff(bb))
+        self._a_avail.append(pa)
+        self._b_avail.append(pb)
+        self._owner.append(np.full(len(ab) - 1, owner, dtype=np.int64))
+        self._n += len(ab) - 1
         self._abase += len(ctx_a)
         self._bbase += len(ctx_b)
 
-    def align(self) -> List[Tuple[np.ndarray, np.ndarray]]:
-        n = len(self.a_ptr)
-        if n == 0:
-            return []
+    def _flat(self):
         abuf = np.concatenate(self.ctx_a)
         bbuf = np.concatenate(self.ctx_b)
-        a_ptr = np.asarray(self.a_ptr, dtype=np.int64)
-        b_ptr = np.asarray(self.b_ptr, dtype=np.int64)
-        a_len = np.asarray(self.a_len, dtype=np.int32)
-        b_len = np.asarray(self.b_len, dtype=np.int32)
-        a_avail = np.asarray(self.a_avail, dtype=np.int32)
-        b_avail = np.asarray(self.b_avail, dtype=np.int32)
+        return (
+            abuf, bbuf,
+            np.concatenate(self._a_ptr).astype(np.int64),
+            np.concatenate(self._b_ptr).astype(np.int64),
+            np.concatenate(self._a_len).astype(np.int32),
+            np.concatenate(self._b_len).astype(np.int32),
+            np.concatenate(self._a_avail).astype(np.int32),
+            np.concatenate(self._b_avail).astype(np.int32),
+        )
+
+    def align(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        n = self._n
+        if n == 0:
+            return []
+        abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail = self._flat()
 
         rows = _native_rows(abuf, bbuf, a_ptr, a_len, a_avail,
                             b_ptr, b_len, b_avail)
@@ -348,8 +367,24 @@ class _WindowBatch:
                 rows.append(script_to_rows(wa, wb, script))
         return rows
 
+    def diffs(self) -> np.ndarray:
+        """Per-window mismatch-column counts of the exact alignments —
+        computed natively WITHOUT materializing rows when possible."""
+        n = self._n
+        if n == 0:
+            return np.zeros(0, np.int32)
+        abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail = self._flat()
+        d = _native_diffs(abuf, bbuf, a_ptr, a_len, a_avail,
+                          b_ptr, b_len, b_avail)
+        if d is not None:
+            return d
+        rows = self.align()
+        return np.array([int((ra != rb).sum()) for ra, rb in rows], np.int32)
+
 
 def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
+    import os as _os
+
     from hinge_tpu import native
 
     lib = native.get_lib()
@@ -369,22 +404,64 @@ def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
     p8 = c.POINTER(c.c_uint8)
     p32 = c.POINTER(c.c_int32)
     p64 = c.POINTER(c.c_int64)
-    rc = lib.dalign_rows_batch(
-        abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8),
-        a_ptr.ctypes.data_as(p64), a_len.ctypes.data_as(p32),
-        a_avail.ctypes.data_as(p32),
-        b_ptr.ctypes.data_as(p64), b_len.ctypes.data_as(p32),
-        b_avail.ctypes.data_as(p32),
-        c.c_int(n),
-        out_a.ctypes.data_as(p8), out_b.ctypes.data_as(p8),
-        out_off.ctypes.data_as(p64), out_len.ctypes.data_as(p32),
-    )
+    if hasattr(lib, "dalign_rows_batch_mt"):
+        rc = lib.dalign_rows_batch_mt(
+            abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8),
+            a_ptr.ctypes.data_as(p64), a_len.ctypes.data_as(p32),
+            a_avail.ctypes.data_as(p32),
+            b_ptr.ctypes.data_as(p64), b_len.ctypes.data_as(p32),
+            b_avail.ctypes.data_as(p32),
+            c.c_int64(n),
+            out_a.ctypes.data_as(p8), out_b.ctypes.data_as(p8),
+            out_off.ctypes.data_as(p64), out_len.ctypes.data_as(p32),
+            c.c_int32(_os.cpu_count() or 1),
+        )
+    else:
+        rc = lib.dalign_rows_batch(
+            abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8),
+            a_ptr.ctypes.data_as(p64), a_len.ctypes.data_as(p32),
+            a_avail.ctypes.data_as(p32),
+            b_ptr.ctypes.data_as(p64), b_len.ctypes.data_as(p32),
+            b_avail.ctypes.data_as(p32),
+            c.c_int(n),
+            out_a.ctypes.data_as(p8), out_b.ctypes.data_as(p8),
+            out_off.ctypes.data_as(p64), out_len.ctypes.data_as(p32),
+        )
     if rc != 0:
         return None
     return [
         (out_a[o : o + L].copy(), out_b[o : o + L].copy())
         for o, L in zip(out_off, out_len)
     ]
+
+
+def _native_diffs(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
+    import os as _os
+
+    from hinge_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "dalign_diffs_batch"):
+        return None
+    import ctypes as c
+
+    n = len(a_ptr)
+    out = np.zeros(n, dtype=np.int32)
+    p8 = c.POINTER(c.c_uint8)
+    p32 = c.POINTER(c.c_int32)
+    p64 = c.POINTER(c.c_int64)
+    rc = lib.dalign_diffs_batch(
+        abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8),
+        a_ptr.ctypes.data_as(p64), a_len.ctypes.data_as(p32),
+        a_avail.ctypes.data_as(p32),
+        b_ptr.ctypes.data_as(p64), b_len.ctypes.data_as(p32),
+        b_avail.ctypes.data_as(p32),
+        c.c_int64(n), out.ctypes.data_as(p32),
+        c.c_int32(_os.cpu_count() or 1),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
@@ -416,16 +493,19 @@ def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
                           np.asarray(b_frame, np.uint8),
                           int(ov.a_start[r]), int(ov.a_end[r]), b0, b1,
                           ov.trace_pairs(r), int(ov.tspace))
-    rows = batch.align()
-    wi = np.zeros(ov.n, dtype=np.int64)  # next window slot per record
-    total = np.zeros(ov.n, dtype=np.int64)
-    for w, (ra, rb) in enumerate(rows):
-        r = batch.owner[w]
-        d = int((ra != rb).sum())
-        ov.trace[ov.trace_off[r] + 2 * wi[r]] = min(d, 65535)
-        wi[r] += 1
-        total[r] += d
-    ov.diffs[:] = total
+    d = batch.diffs().astype(np.int64)  # no row materialization
+    owner = np.asarray(batch.owner, dtype=np.int64)
+    if len(owner) == 0:
+        ov.diffs[:] = 0
+        return
+    # windows were appended per record in order: local slot = index - first
+    first = np.zeros(ov.n + 1, dtype=np.int64)
+    np.add.at(first, owner + 1, 1)
+    np.cumsum(first, out=first)
+    win_local = np.arange(len(owner), dtype=np.int64) - first[owner]
+    ov.trace[ov.trace_off[owner] + 2 * win_local] = np.minimum(d, 65535)
+    ov.diffs[:] = np.bincount(owner, weights=d, minlength=ov.n).astype(
+        ov.diffs.dtype)
 
 
 def align_overlap_rows_exact(

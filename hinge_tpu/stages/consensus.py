@@ -86,11 +86,6 @@ def run_consensus(
             results.append((f"Consensus{ci}", contigs[ci][1]))
             continue
 
-        scores = np.zeros((alen, 5), dtype=np.int32)
-        ins_score = np.zeros(alen, dtype=np.int32)
-        ins_scores = np.zeros((alen, 5), dtype=np.int32)
-        cov = np.zeros(alen, dtype=np.int32)
-
         # all alignment rows for this contig in pooled window batches
         items = []
         traced = []
@@ -103,6 +98,10 @@ def run_consensus(
         bulk = DT.align_overlap_rows_exact(items)
         rows_by_r = dict(zip(traced, bulk))
 
+        # pooled column vote: gather every read's (pos, base) pairs, then
+        # ONE bincount per tally (np.add.at per read was the profile's top
+        # host cost at the 10^5-read scale)
+        pm_l, bm_l, pi_l, bi_l = [], [], [], []
         for r in sel:
             if r in rows_by_r:
                 rowA, rowB = rows_by_r[r]
@@ -114,11 +113,23 @@ def run_consensus(
             pos = pos0 + np.cumsum(a_nogap) - a_nogap  # position per column
             valid = pos < alen
             m_match = a_nogap & valid
-            np.add.at(scores, (pos[m_match], rowB[m_match]), 1)
-            np.add.at(cov, pos[m_match], 1)
+            pm_l.append(pos[m_match])
+            bm_l.append(rowB[m_match])
             m_ins = (~a_nogap) & (rowB != GAP) & valid
-            np.add.at(ins_score, pos[m_ins], 1)
-            np.add.at(ins_scores, (pos[m_ins], rowB[m_ins]), 1)
+            pi_l.append(pos[m_ins])
+            bi_l.append(rowB[m_ins])
+        pm = np.concatenate(pm_l) if pm_l else np.zeros(0, np.int64)
+        bm = np.concatenate(bm_l) if bm_l else np.zeros(0, np.uint8)
+        pi = np.concatenate(pi_l) if pi_l else np.zeros(0, np.int64)
+        bi = np.concatenate(bi_l) if bi_l else np.zeros(0, np.uint8)
+        scores = np.bincount(
+            pm.astype(np.int64) * 5 + bm, minlength=alen * 5
+        ).reshape(alen, 5).astype(np.int32)
+        cov = np.bincount(pm, minlength=alen).astype(np.int32)[:alen]
+        ins_score = np.bincount(pi, minlength=alen).astype(np.int32)[:alen]
+        ins_scores = np.bincount(
+            pi.astype(np.int64) * 5 + bi, minlength=alen * 5
+        ).reshape(alen, 5).astype(np.int32)
 
         # emission (consensus.cpp:231-269), vectorized: each draft position
         # emits 0-2 bytes (optional insertion + base-or-deletion); build the
