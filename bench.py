@@ -1,24 +1,24 @@
-"""Benchmark: the BASELINE.md north-star metrics in one JSON line.
+"""Benchmark: the BASELINE.md north-star metrics, driver-survivable.
 
-Primary metric — overlap-pileup records/s/chip: the pileup-scoring inner
-loop (profile coverage x2 + n_entries + masks + repeat annotation — the hot
-path of `Reads_filter`, filter.cpp:585-829) over a large synthetic overlap
-batch.  vs_baseline compares against a vectorized-numpy implementation of
-the same computation standing in for the reference's scalar C++ event
-loops (conservative: the numpy baseline is itself vectorized; note it runs
-on this host's 2 vCPUs).
+Primary metric — overlap-pileup records/s/chip over the FULL filter-stage
+device scope (filter.cpp:585-1070): pileup coverage x2 + n_entries + masks
++ repeat annotation (the round-1 chain) PLUS the trim/classify lattice
+(LAInterface.cpp:4552-4683, :4721-4806 — the per-pair work filter/maximal
+do on the deduped top matches) and the hinge-calling kernel
+(filter.cpp:838-1070, ops/hinge_call.py).  vs_baseline compares against a
+vectorized-numpy implementation of the coverage core standing in for the
+reference's scalar C++ event loops (conservative: the numpy baseline is
+itself vectorized; it runs on this host's 2 vCPUs).
 
-Extra keys (BASELINE.md rows 2 and 4):
-  e2e     — FASTA→consensus `assemble()` wall-clock on the ecoli-scale
-            synthetic workload (4.6Mb genome, 30x), with the per-stage
-            breakdown from the pipeline's stage timers and the longest
-            contig / genome reconstruction fraction.
-  scaling — records/s of the SHARDED filter step at 1/2/4/8 devices
-            (virtual CPU mesh via xla_force_host_platform_device_count;
-            on real multi-chip hardware the same code path applies) plus
-            host vCPU count for honest interpretation.
-
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output protocol (what the driver captures):
+  * The primary JSON line is computed and printed FIRST, flush=True —
+    a driver timeout after this point still records the headline number.
+  * e2e + scaling extras run only inside HINGE_BENCH_BUDGET total seconds
+    (default 420); when they finish in time, a second, enriched JSON line
+    with the same schema (+"e2e"/"scaling" keys) is printed and the full
+    detail is written to BENCH_DETAIL.json.
+  * Recorded full-scale runs (measured out-of-band on the real TPU during
+    the round, with dates) are merged from docs/bench_recorded.json.
 """
 
 import json
@@ -30,10 +30,16 @@ import numpy as np
 
 N_READS = 16_384
 N_OV = 2_000_000
+N_PAIRS = 250_000     # deduped top-match pairs fed to trim/classify
+N_TASKS = 2_048       # (read, annotation) hinge-calling tasks
+PILEUP_W = 128        # padded pileup width per hinge task
 MAXLEN = 30_000
 RESO = 40
 CUT_OFF = 300
 MIN_COV = 5
+TSPACE = 100
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def synth(seed=0):
@@ -47,11 +53,67 @@ def synth(seed=0):
     return a_id, a_start, a_end, read_len
 
 
+def synth_classify(seed=1):
+    """Trace-lattice batch for trim_overlaps/add_types (top-pair scale)."""
+    rng = np.random.default_rng(seed)
+    a_len = rng.integers(MAXLEN // 2, MAXLEN, N_PAIRS).astype(np.int32)
+    a_start = rng.integers(0, MAXLEN // 4, N_PAIRS).astype(np.int32)
+    span = rng.integers(1000, MAXLEN // 2, N_PAIRS)
+    a_end = np.minimum(a_start + span, a_len - 1).astype(np.int32)
+    npairs = ((a_end - 1) // TSPACE - a_start // TSPACE + 1).astype(np.int32)
+    pair_off = np.zeros(N_PAIRS, np.int64)
+    np.cumsum(npairs[:-1], out=pair_off[1:])
+    total = int(npairs.sum())
+    disp = rng.integers(TSPACE // 2, 3 * TSPACE // 2, total).astype(np.int32)
+    csum = np.cumsum(disp, dtype=np.int64)
+    seg_base = csum[pair_off] - disp[pair_off]
+    cum = (csum - np.repeat(seg_base, npairs)).astype(np.int32)
+    b_span = cum[pair_off + npairs - 1]
+    b_start = rng.integers(0, 2000, N_PAIRS).astype(np.int32)
+    b_end = (b_start + b_span).astype(np.int32)
+    b_len = (b_end + rng.integers(0, 2000, N_PAIRS)).astype(np.int32)
+    rc = rng.integers(0, 2, N_PAIRS).astype(np.int32)
+    seg_id = np.repeat(np.arange(N_PAIRS, dtype=np.int32), npairs + 1)
+    k_local = np.arange(total + N_PAIRS, dtype=np.int64)
+    pt_off = pair_off + np.arange(N_PAIRS, dtype=np.int64)
+    k_local -= np.repeat(pt_off, npairs + 1)
+    eff_a0 = (a_len // 20).astype(np.int32)
+    eff_a1 = (a_len - a_len // 20).astype(np.int32)
+    eff_b0 = (b_len // 20).astype(np.int32)
+    eff_b1 = (b_len - b_len // 20).astype(np.int32)
+    return dict(
+        a_start=a_start, a_end=a_end, b_start=b_start, b_end=b_end, rc=rc,
+        eff_a0=eff_a0, eff_a1=eff_a1, eff_b0=eff_b0, eff_b1=eff_b1,
+        npairs=npairs, pair_off=pair_off, cum=cum,
+        seg_id=seg_id, k_local=k_local.astype(np.int32),
+    )
+
+
+def synth_hinge(seed=2):
+    """Padded (read, annotation) hinge-calling batch (filter.cpp:838-1070)."""
+    rng = np.random.default_rng(seed)
+    R = 512  # distinct reads carrying annotations
+    ams = rng.integers(0, MAXLEN // 2, (R, PILEUP_W)).astype(np.int32)
+    ame = (ams + rng.integers(500, MAXLEN // 2, (R, PILEUP_W))).astype(np.int32)
+    lov = rng.integers(0, 4000, (R, PILEUP_W)).astype(np.int32)
+    rov = rng.integers(0, 4000, (R, PILEUP_W)).astype(np.int32)
+    valid = rng.random((R, PILEUP_W)) < 0.9
+    rid = rng.integers(0, R, N_TASKS).astype(np.int32)
+    pos_a = rng.integers(500, MAXLEN - 500, N_TASKS).astype(np.int32)
+    grad = rng.choice(np.array([-1, 1], np.int32), N_TASKS)
+    m0 = rng.integers(0, 500, N_TASKS).astype(np.int32)
+    m1 = (pos_a + rng.integers(500, 5000, N_TASKS)).astype(np.int32)
+    return dict(pos_a=pos_a, grad=grad, m0=m0, m1=m1, rid=rid,
+                ams=ams, ame=ame, lov=lov, rov=rov, valid=valid)
+
+
 def bench_device(a_id, a_start, a_end, read_len, iters=10):
     import jax
     import jax.numpy as jnp
 
     from hinge_tpu.ops import coverage as C
+    from hinge_tpu.ops import classify as CL
+    from hinge_tpu.ops.hinge_call import _hinge_kernel
 
     nb = MAXLEN // RESO + 3
 
@@ -63,8 +125,12 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
     # intermediate glue (n_entries, maximum, sums) dispatches eagerly on
     # device, so the timing still covers the full filter inner loop.
     @jax.jit
-    def _finish(cov, ms, mev, ann):
-        return cov.sum(), ms, mev, ann.astype(jnp.int32).sum()
+    def _finish(cov, ms, mev, ann, types, active, bridged, support):
+        return (cov.sum(), ms, mev, ann.astype(jnp.int32).sum(),
+                types.sum(), active.sum(), bridged.sum(), support.sum())
+
+    cl = {k: jnp.asarray(v) for k, v in synth_classify().items()}
+    hg = {k: jnp.asarray(v) for k, v in synth_hinge().items()}
 
     def step(a_id, a_start, a_end):
         cov = C.profile_coverage(
@@ -85,16 +151,35 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
             reso=RESO, coverage_fraction=3, min_thresh=10, max_thresh=20,
             no_hinge_region=500,
         )
-        return _finish(cov, ms, mev, ann)
+        # trim/classify lattice over the deduped top pairs
+        ams_, ame_, bms_, bme_, active = CL.trim_overlaps(
+            cl["a_start"], cl["a_end"], cl["b_start"], cl["b_end"], cl["rc"],
+            cl["eff_a0"], cl["eff_a1"], cl["eff_b0"], cl["eff_b1"],
+            cl["npairs"], cl["pair_off"], cl["cum"], cl["seg_id"], cl["k_local"],
+            tspace=TSPACE,
+        )
+        types = CL.add_types_asymmetric(
+            ams_, ame_, bms_, bme_,
+            cl["eff_a0"], cl["eff_a1"], cl["eff_b0"], cl["eff_b1"],
+            cl["rc"], jnp.int32(300), jnp.int32(-300),
+        )
+        # hinge calling (bridged/unbridged scan) per (read, annotation) task
+        bridged, support = _hinge_kernel(
+            hg["pos_a"], hg["grad"], hg["m0"], hg["m1"], hg["rid"],
+            hg["ams"], hg["ame"], hg["lov"], hg["rov"], hg["valid"],
+            theta=300, htl=300, hbl=200, hrut=6, hbpt=7,
+        )
+        return _finish(cov, ms, mev, ann, types, active, bridged, support)
 
     args = (jnp.asarray(a_id), jnp.asarray(a_start), jnp.asarray(a_end))
     out = step(*args)  # compile
     jax.block_until_ready(out)
-    # warm-up and calibrate iteration count for >= ~1s of device time
+    # warm-up and calibrate iteration count for ~1s of device time (at
+    # least 3 — a slow CPU-fallback step must not balloon the wall)
     t0 = time.perf_counter()
     jax.block_until_ready(step(*args))
     probe = time.perf_counter() - t0
-    iters = max(iters, int(1.0 / max(probe, 1e-4)))
+    iters = max(3, int(1.0 / max(probe, 1e-4)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
@@ -135,49 +220,61 @@ def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
     return N_OV / dt, dt
 
 
-def _device_bench_subprocess(timeout_s: int = 1500, force_cpu: bool = False):
-    """Run the device bench in a child process with a hard timeout.
+def _child(code, timeout_s, tag, force_cpu=False, extra_env=None):
+    """Run a bench snippet in a clean child interpreter; parse its tag line."""
+    import subprocess
+
+    env = dict(os.environ)
+    if force_cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=_HERE, env=env,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith(tag + " "):
+                return json.loads(line[len(tag) + 1 :])
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+_CACHE_PRELUDE = (
+    "import jax, os\n"
+    "jax.config.update('jax_compilation_cache_dir', "
+    f"{os.path.join(_HERE, '.jax_cache')!r})\n"
+    "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+)
+
+
+def _device_bench(timeout_s, force_cpu=False):
+    """Device microbench in a child process with a hard timeout.
 
     The single TPU here sits behind a tunnel whose claim can wedge if a
     previous client died mid-compile; a hung child must not stop the
     benchmark from reporting. Returns (rps, backend) or (None, None).
     """
-    import subprocess
-
     code = (
-        "import json, jax\n"
-        # persistent compile cache: the axon tunnel compiles remotely and can
-        # take minutes on the first run of a big scatter graph; cached
-        # executables come back in seconds on subsequent runs
-        "jax.config.update('jax_compilation_cache_dir', "
-        f"{os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')!r})\n"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        _CACHE_PRELUDE
+        + "import json\n"
         "from bench import synth, bench_device\n"
         "a,b,c,d = synth()\n"
         "rps, dt = bench_device(a,b,c,d)\n"
         "print('BENCH_RESULT ' + json.dumps({'rps': rps, 'backend': jax.default_backend()}))\n"
     )
-    env = dict(os.environ)
-    if force_cpu:
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith("BENCH_RESULT "):
-                d = json.loads(line[len("BENCH_RESULT "):])
-                return d["rps"], d["backend"]
-    except subprocess.TimeoutExpired:
-        pass
-    return None, None
+    out = _child(code, timeout_s, "BENCH_RESULT", force_cpu=force_cpu)
+    if out is None:
+        return None, None
+    return out["rps"], out["backend"]
 
 
-def run_e2e(genome_len=4_600_000, coverage=30.0, seed=0):
-    """FASTA→consensus assemble() on the ecoli-scale synthetic workload.
+def run_e2e(genome_len, coverage, seed=0):
+    """FASTA→consensus assemble() on a synthetic workload.
 
     Runs in a child interpreter; prints a BENCH_E2E line with wall seconds,
     the per-stage timer breakdown, and reconstruction quality.
@@ -216,7 +313,7 @@ def bench_sharded_step(iters=3):
     import jax
 
     from hinge_tpu.parallel.sharding import (
-        make_mesh, run_sharded_filter, shard_records, sharded_filter_step,
+        make_mesh, shard_records, sharded_filter_step,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -249,56 +346,29 @@ def bench_sharded_step(iters=3):
     return N_OV / dt
 
 
-def _child(code, timeout_s, tag, force_cpu=False, extra_env=None):
-    """Run a bench snippet in a clean child interpreter; parse its tag line."""
-    import subprocess
-
-    env = dict(os.environ)
-    if force_cpu:
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-    if extra_env:
-        env.update(extra_env)
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith(tag + " "):
-                return json.loads(line[len(tag) + 1 :])
-    except subprocess.TimeoutExpired:
-        pass
-    return None
-
-
-def _e2e(timeout_s=None):
-    if os.environ.get("HINGE_BENCH_E2E", "1") == "0":
+def _e2e(timeout_s):
+    if os.environ.get("HINGE_BENCH_E2E", "1") == "0" or timeout_s < 60:
         return None
-    if timeout_s is None:
-        timeout_s = int(os.environ.get("HINGE_BENCH_E2E_TIMEOUT", 1500))
-    glen = int(os.environ.get("HINGE_BENCH_E2E_GENOME", 4_600_000))
-    cov = float(os.environ.get("HINGE_BENCH_E2E_COV", 30.0))
-    code = (
-        "import jax, os\n"
-        "jax.config.update('jax_compilation_cache_dir', os.path.abspath('.jax_cache'))\n"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
-        f"from bench import run_e2e\nrun_e2e({glen}, {cov})\n"
-    )
-    out = _child(code, timeout_s, "BENCH_E2E")
-    if out is None:  # TPU path wedged/slow: clean CPU interpreter
-        out = _child(code, min(timeout_s, 1200), "BENCH_E2E", force_cpu=True)
-        if out is not None:
-            out["backend"] = "cpu-fallback"
+    glen = int(os.environ.get("HINGE_BENCH_E2E_GENOME", 1_200_000))
+    cov = float(os.environ.get("HINGE_BENCH_E2E_COV", 25.0))
+    code = _CACHE_PRELUDE + f"from bench import run_e2e\nrun_e2e({glen}, {cov})\n"
+    # e2e on the CPU backend in a clean interpreter: deterministic wall,
+    # no tunnel-compile lottery inside the driver's budget
+    out = _child(code, timeout_s, "BENCH_E2E", force_cpu=True)
+    if out is not None:
+        out["backend"] = "cpu"
     return out
 
 
-def _scaling(timeout_s=420):
+def _scaling(budget_left):
     if os.environ.get("HINGE_BENCH_SCALING", "1") == "0":
         return None
     curve = {}
-    for n in (1, 2, 4, 8):
+    t_end = time.perf_counter() + budget_left
+    for n in (1, 8):
+        per_point = t_end - time.perf_counter()
+        if per_point < 30:
+            break
         code = (
             "import json, jax\n"
             "from bench import bench_sharded_step\n"
@@ -306,7 +376,7 @@ def _scaling(timeout_s=420):
             "print('BENCH_SCALE ' + json.dumps({'rps': rps}))\n"
         )
         out = _child(
-            code, timeout_s, "BENCH_SCALE", force_cpu=True,
+            code, per_point, "BENCH_SCALE", force_cpu=True,
             extra_env={"XLA_FLAGS": f"--xla_force_host_platform_device_count={n}"},
         )
         if out is not None:
@@ -320,33 +390,63 @@ def _scaling(timeout_s=420):
     return res
 
 
+def _recorded():
+    """Out-of-band full-scale runs recorded during the round (dated)."""
+    p = os.path.join(_HERE, "docs", "bench_recorded.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return None
+    return None
+
+
 def main():
+    budget = float(os.environ.get("HINGE_BENCH_BUDGET", 420))
+    t0 = time.perf_counter()
+    left = lambda: budget - (time.perf_counter() - t0)
+
     a_id, a_start, a_end, read_len = synth()
-    rps, backend = _device_bench_subprocess()
+    base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
+
+    rps, backend = _device_bench(timeout_s=max(60, min(0.7 * budget, left())))
     if rps is None:
         # TPU unreachable (wedged tunnel): measure on the CPU backend in a
         # clean interpreter (no axon registration at startup)
-        rps, _ = _device_bench_subprocess(timeout_s=420, force_cpu=True)
-        backend = "cpu-fallback"
-    if rps is None:
-        rps = 0.0
-        backend = "unavailable"
-    base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
-    e2e = _e2e()
-    scaling = _scaling()
-    print(
-        json.dumps(
-            {
-                "metric": "overlap_pileup_records_per_s_per_chip",
-                "value": round(rps),
-                "unit": "records/s",
-                "vs_baseline": round(rps / base_rps, 2),
-                "backend": backend,
-                "e2e": e2e,
-                "scaling": scaling,
-            }
-        )
-    )
+        rps, _ = _device_bench(timeout_s=max(60, min(240, left())), force_cpu=True)
+        backend = "cpu-fallback" if rps is not None else "unavailable"
+        rps = rps or 0.0
+
+    primary = {
+        "metric": "overlap_pileup_records_per_s_per_chip",
+        "value": round(rps),
+        "unit": "records/s",
+        "vs_baseline": round(rps / base_rps, 2),
+        "backend": backend,
+        "chain": "coverage+masks+annotation+trim/classify+hinge_call",
+    }
+    rec = _recorded()
+    if rec is not None:
+        primary["recorded"] = rec
+    # the headline lands NOW — a driver timeout past this point still
+    # captures the primary number
+    print(json.dumps(primary), flush=True)
+
+    e2e = _e2e(timeout_s=left() - 90)
+    scaling = _scaling(budget_left=left() - 10)
+    enriched = dict(primary)
+    if e2e is not None:
+        enriched["e2e"] = e2e
+    if scaling is not None:
+        enriched["scaling"] = scaling
+    try:
+        with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(enriched, f, indent=1)
+    except OSError:
+        pass
+    if e2e is not None or scaling is not None:
+        print(json.dumps(enriched), flush=True)
 
 
 if __name__ == "__main__":

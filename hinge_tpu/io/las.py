@@ -142,6 +142,21 @@ def read_las(
     )
 
 
+_FALLBACK_WARNED: set = set()
+
+
+def _warn_fallback(path: str, why: str) -> None:
+    """Surface the numpy fallback (VERDICT r2 weak #7: a silent fallback can
+    mask native-loader environment breakage as a 10x slowdown)."""
+    key = why.split("(")[0]
+    if key in _FALLBACK_WARNED:
+        return
+    _FALLBACK_WARNED.add(key)
+    from hinge_tpu.utils.log import get_logger
+
+    get_logger().warning("las: falling back to numpy reader for %s: %s", path, why)
+
+
 def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[OverlapStore]:
     """C++ fast path (hinge_tpu/native/io_native.cpp)."""
     import ctypes
@@ -150,6 +165,7 @@ def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[
 
     lib = get_lib()
     if lib is None:
+        _warn_fallback(path, "native io library unavailable (no toolchain?)")
         return None
     novl = ctypes.c_int64()
     tspace = ctypes.c_int32()
@@ -164,6 +180,7 @@ def _read_las_native(path: str, read_lengths: Optional[np.ndarray]) -> Optional[
     if rcode == -1:
         # unreadable / too-short file: let the numpy path raise its own
         # (more specific) error so behavior matches the no-toolchain case
+        _warn_fallback(path, "native las_scan could not open/read the file")
         return None
     if rcode != 0:
         raise ValueError(

@@ -32,8 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SHIFT = 21  # sort key: first * 2^21 + second (both < 2^21 for real reads)
-_BIG = jnp.int64(1) << 60
+_BIG = jnp.int32(1) << 29  # > any read coordinate/overhang; non-supporters sort last
 
 
 @functools.partial(
@@ -48,13 +47,12 @@ def _hinge_kernel(
     """tasks: pos_a/grad/m0/m1/rid int32 [T]; per-read padded rows
     ams/ame/lov/rov int32 [R, P], valid bool [R, P].
     Returns (bridged bool [T], support int32 [T])."""
-    f64 = lambda x: x.astype(jnp.int64)
-    A0 = f64(ams[rid])   # [T, P] A-start
-    A1 = f64(ame[rid])   # A-end
-    LO = f64(lov[rid])   # left overhang
-    RO = f64(rov[rid])   # right overhang
+    A0 = ams[rid]   # [T, P] A-start
+    A1 = ame[rid]   # A-end
+    LO = lov[rid]   # left overhang
+    RO = rov[rid]   # right overhang
     VV = valid[rid]
-    pos = f64(pos_a)[:, None]
+    pos = pos_a[:, None]
     is_out = (grad == -1)[:, None]
 
     # supporters (filter.cpp:874-898)
@@ -64,19 +62,24 @@ def _hinge_kernel(
     support = near.sum(axis=1).astype(jnp.int32)
 
     # scan elements: (first, second) = (A-start, left ovh) ascending for
-    # out-hinges, (A-end, right ovh) descending for in-hinges
+    # out-hinges, (A-end, right ovh) descending for in-hinges.
+    # Lexicographic order via two stable int32 argsorts (LSD radix over the
+    # two keys) — a single packed first*2^21+second key needs 42 bits and
+    # silently wrapped in int32 before x64-less jax, reordering supporters
+    # (found by adversarial fuzz, round 3).
     first = jnp.where(is_out, A0, A1)
     second = jnp.where(is_out, LO, RO)
-    key = first * (1 << _SHIFT) + second
-    key = jnp.where(is_out, key, -key)
-    key = jnp.where(near, key, _BIG)  # non-supporters sort last
-    order = jnp.argsort(key, axis=1)
+    k2 = jnp.where(near, jnp.where(is_out, second, -second), _BIG)
+    o1 = jnp.argsort(k2, axis=1, stable=True)
+    k1 = jnp.where(near, jnp.where(is_out, first, -first), _BIG)
+    o2 = jnp.argsort(jnp.take_along_axis(k1, o1, axis=1), axis=1, stable=True)
+    order = jnp.take_along_axis(o1, o2, axis=1)
     tk = jnp.take_along_axis
     firs = tk(first, order, axis=1)
     secs = tk(second, order, axis=1)
     vals = tk(near, order, axis=1)
 
-    mask_ref = jnp.where(is_out, f64(m0)[:, None], f64(m1)[:, None])
+    mask_ref = jnp.where(is_out, m0[:, None], m1[:, None])
     dist = jnp.where(is_out, firs - mask_ref, mask_ref - firs)
     a_flag = vals & (dist < hbl)
     b_flag = vals & ~a_flag & (secs < theta)

@@ -180,3 +180,50 @@ def test_merge_annotations():
     a = [(100, 1), (300, 1), (700, 1), (900, -1), (1100, -1)]
     got = O.merge_annotations_oracle(a, 300)
     assert got == [(100, 1), (700, 1), (1100, -1)]
+
+
+def test_hinge_kernel_order_sensitive_fuzz():
+    """The bridged/unbridged scan depends on exact lexicographic supporter
+    order (filter.cpp:914-1065 sorts pairAscend/pairDescend).  Round 3 found
+    the packed int32 sort key wrapped for coordinates > 1023, reordering
+    supporters; this pins the two-pass stable-radix fix against the scalar
+    scan at order-sensitive thresholds."""
+    import numpy as np
+
+    from hinge_tpu.ops.hinge_call import call_hinges_device
+    from hinge_tpu.stages.filter import _bridged_scan_in, _bridged_scan_out
+
+    THETA, HTL, HBL, HRUT, HBPT = 300, 300, 600, 2, 2
+    rng = np.random.default_rng(1)
+    for trial in range(60):
+        n = int(rng.integers(6, 30))
+        pos_a = int(rng.integers(2000, 28000))
+        grad = int(rng.choice([-1, 1]))
+        ams = rng.integers(0, 28000, n).astype(np.int32)
+        if grad == -1:
+            ame = (pos_a + rng.integers(-HTL + 1, HTL - 1, n)).astype(np.int32)
+        else:
+            ame = (ams + rng.integers(500, 5000, n)).astype(np.int32)
+            ams = (pos_a + rng.integers(-HTL + 1, HTL - 1, n)).astype(np.int32)
+        lov = rng.integers(0, 2000, n).astype(np.int32)
+        rov = rng.integers(0, 2000, n).astype(np.int32)
+        rows = {0: (ams, ame, lov, rov)}
+        m0 = int(rng.integers(0, 3000))
+        m1 = int(rng.integers(25000, 30000))
+        bd, sd = call_hinges_device(
+            np.array([(0, 0)]), np.array([pos_a], np.int32),
+            np.array([grad], np.int32), np.array([m0], np.int32),
+            np.array([m1], np.int32), rows, THETA, HTL, HBL, HRUT, HBPT,
+        )
+        if grad == -1:
+            near = (ame > pos_a - HTL) & (ame < pos_a + HTL) & (rov > THETA)
+            other = np.stack([ams[near], lov[near]], axis=1)
+            other = other[np.lexsort((other[:, 1], other[:, 0]))]
+            b = _bridged_scan_out(other, m0, HBL, THETA, HRUT, HBPT)
+        else:
+            near = (ams > pos_a - HTL) & (ams < pos_a + HTL) & (lov > THETA)
+            other = np.stack([ame[near], rov[near]], axis=1)
+            other = other[np.lexsort((-other[:, 1], -other[:, 0]))]
+            b = _bridged_scan_in(other, m1, HBL, THETA, HRUT, HBPT)
+        assert int(near.sum()) == int(sd[0]), trial
+        assert bool(b) == bool(bd[0]), trial

@@ -217,3 +217,34 @@ def test_native_scatter_copy(lib):
             dst[dst_off[r] : dst_off[r] + lens[r]],
             src[src_off[r] : src_off[r] + lens[r]],
         )
+
+
+def test_numpy_fallback_is_logged(lib, small_sim, tmp_path):
+    """rcode -1 (short/unopenable file) falls back to numpy WITH a warning
+    (VERDICT r2 weak #7)."""
+    import logging
+
+    import hinge_tpu.io.las as lasmod
+    from hinge_tpu.utils.log import get_logger
+
+    ov = small_sim["overlaps"]
+    path = str(tmp_path / "short.las")
+    write_las(path, ov)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:6])  # shorter than the 12-byte header
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    h = Capture()
+    logger = get_logger()
+    logger.addHandler(h)
+    lasmod._FALLBACK_WARNED.clear()
+    try:
+        with pytest.raises(Exception):
+            read_las(path, use_native=True)  # numpy path raises on 6 bytes
+    finally:
+        logger.removeHandler(h)
+    assert any("falling back to numpy" in m for m in records)
