@@ -295,3 +295,317 @@ def read_db_qvs(db_path: str) -> List[Dict[str, bytes]]:
                 out.append(uncompress_entry(f, coding, int(reads["rlen"][i])))
             first = last
     return out
+
+
+# ---------------------------------------------------------------------------
+# Write path (QV.c compress side, re-derived)
+# ---------------------------------------------------------------------------
+#
+# QVcoding_Scan (QV.c:896-986) + Create_QVcoding (:992-1133) +
+# Write_QVcoding (:1136-1174) + Encode/Encode_Run (:423-545) +
+# Pack_Tag (:841-851).  Deliberate deviation from the reference: the scan
+# here histograms runs over the WHOLE input after choosing del/sub run
+# chars (the reference picks subChar mid-scan at the 100k-char mark and
+# only histograms runs from that point, QV.c:973-982) — this changes table
+# quality on the margin, never decodability.
+
+_HUFF_CUTOFF = 16  # QV.c:63 — lookup-table decode limits codes to 16 bits
+
+
+def _huffman(hist: np.ndarray, escape_lens: Optional[np.ndarray]):
+    """Huffman code (lens, bits, type) over the non-zero symbols of hist.
+
+    Mirrors QV.c Huffman (:184-261): when escape_lens is given (the first
+    pass's lengths), symbols with first-pass length > 16 plus symbol 255
+    are united into one escape class whose code signals an explicit
+    8/16-bit literal; the result is a type-2 scheme.  Ties in the merge are
+    broken by insertion order (our heap uses a sequence number) — any
+    consistent Huffman code round-trips, only table quality varies.
+    """
+    import heapq
+
+    lens = np.zeros(256, dtype=np.int32)
+    bits = np.zeros(256, dtype=np.uint32)
+    heap = []
+    seq = 0
+    esc_members: List[int] = []
+    if escape_lens is not None:
+        esc_count = 0
+        for i in range(256):
+            if hist[i] > 0 and (escape_lens[i] > _HUFF_CUTOFF or i == 255):
+                esc_count += int(hist[i])
+                esc_members.append(i)
+        heap.append((esc_count, seq, ("esc", None)))
+        seq += 1
+    for i in range(256):
+        if hist[i] > 0 and (escape_lens is None
+                            or (escape_lens[i] <= _HUFF_CUTOFF and i != 255)):
+            heap.append((int(hist[i]), seq, ("sym", i)))
+            seq += 1
+    heapq.heapify(heap)
+    if len(heap) == 1:
+        # degenerate single-symbol alphabet: 1-bit code
+        _, _, leaf = heap[0]
+        heap = [(0, 0, ("node", (leaf, leaf)))]
+    while len(heap) > 1:
+        c1, _, n1 = heapq.heappop(heap)
+        c2, _, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (c1 + c2, seq, ("node", (n1, n2))))
+        seq += 1
+
+    def walk(node, code, ln):
+        kind, payload = node
+        if kind == "node":
+            walk(payload[0], code << 1, ln + 1)
+            walk(payload[1], (code << 1) | 1, ln + 1)
+        elif kind == "sym":
+            lens[payload] = ln
+            bits[payload] = code
+        else:  # escape class -> stored as symbol 255's code
+            lens[255] = ln
+            bits[255] = code
+
+    walk(heap[0][2], 0, 0)
+    if escape_lens is not None:
+        for i in esc_members:
+            lens[i] = lens[255]
+            bits[i] = bits[255]
+        if int(lens[lens > 0].max(initial=0)) > _HUFF_CUTOFF:
+            raise ValueError("qvs: escape-pass Huffman code exceeds 16 bits")
+        return lens, bits, 2
+    return lens, bits, 0
+
+
+def _make_scheme(hist: np.ndarray):
+    """SCHEME_MACRO (QV.c:1033-1042): plain build, escape rebuild if any
+    code exceeds 16 bits."""
+    lens, bits, _ = _huffman(hist, None)
+    if int(lens.max(initial=0)) > _HUFF_CUTOFF:
+        lens, bits, t = _huffman(hist, lens)
+        return lens, bits, 2
+    return lens, bits, 0
+
+
+class _BitWriter:
+    """Encode's uint32 output window incl. its end padding (QV.c:423-483:
+    the decoder's 16-bit lookahead must never read past the last word)."""
+
+    __slots__ = ("out", "ocode", "olen", "llen")
+
+    def __init__(self, out: BinaryIO):
+        self.out = out
+        self.ocode = 0
+        self.olen = 0
+        self.llen = 0
+
+    def emit(self, n: int, code: int) -> None:
+        self.llen = self.olen
+        total = self.olen + n
+        if total >= 32:
+            self.olen = total - 32
+            self.ocode |= code >> self.olen
+            self.out.write(struct.pack("<I", self.ocode & 0xFFFFFFFF))
+            self.ocode = (code << (32 - self.olen)) & 0xFFFFFFFF if self.olen else 0
+        else:
+            self.olen = total
+            self.ocode |= (code << (32 - self.olen)) & 0xFFFFFFFF
+
+    def finish(self) -> None:
+        if self.olen > 0:
+            self.out.write(struct.pack("<I", self.ocode & 0xFFFFFFFF))
+            if self.llen > 16 and self.olen > self.llen:
+                self.out.write(struct.pack("<I", self.ocode & 0xFFFFFFFF))
+        elif self.llen > 16:
+            self.out.write(struct.pack("<I", self.ocode & 0xFFFFFFFF))
+
+
+def _encode(scheme, out: BinaryIO, data: bytes) -> None:
+    """QV.c Encode (:423-483)."""
+    lens, bits, typ = scheme
+    esc_bits = int(bits[255]) if typ == 2 else -1
+    esc_len = int(lens[255]) if typ == 2 else -1
+    bw = _BitWriter(out)
+    for x in data:
+        n, c = int(lens[x]), int(bits[x])
+        bw.emit(n, c)
+        if c == esc_bits and n == esc_len:
+            bw.emit(8, x)
+    bw.finish()
+
+
+def _encode_run(neme, reme, out: BinaryIO, data: bytes, rchar: int) -> None:
+    """QV.c Encode_Run (:485-545): alternating (run-length, literal)."""
+    nlens, nbits, ntyp = neme
+    rlens, rbits, _ = reme
+    nesc_b = int(nbits[255]) if ntyp == 2 else -1
+    nesc_l = int(nlens[255]) if ntyp == 2 else -1
+    resc_b, resc_l = int(rbits[255]), int(rlens[255])
+    bw = _BitWriter(out)
+    k = 0
+    rlen = len(data)
+    while k < rlen:
+        h = k
+        while k < rlen and data[k] == rchar:
+            k += 1
+        x = 255 if k - h >= 255 else k - h
+        n, c = int(rlens[x]), int(rbits[x])
+        bw.emit(n, c)
+        if c == resc_b and n == resc_l:
+            bw.emit(16, k - h)
+        if k < rlen:
+            x = data[k]
+            n, c = int(nlens[x]), int(nbits[x])
+            bw.emit(n, c)
+            if c == nesc_b and n == nesc_l:
+                bw.emit(8, x)
+            k += 1
+    bw.finish()
+
+
+def _write_scheme(scheme, out: BinaryIO) -> None:
+    """QV.c Write_Scheme (:337-355)."""
+    lens, bits, typ = scheme
+    out.write(bytes([typ]))
+    for i in range(256):
+        out.write(bytes([int(lens[i])]))
+        if lens[i] > 0:
+            out.write(struct.pack("<I", int(bits[i])))
+
+
+def _pack_2bit(tag: bytes) -> bytes:
+    """DB.c Number_Read + Compress_Read: 'acgt'->0..3, 4 codes per byte."""
+    codes = np.frombuffer(tag, dtype=np.uint8)
+    num = np.zeros(len(codes), dtype=np.uint8)
+    for v, ch in enumerate(b"acgt"):
+        num[codes == ch] = v
+        num[codes == (ch & ~0x20)] = v  # accept upper case
+    clen = len(num)
+    pad = (-clen) % 4
+    num = np.concatenate([num, np.zeros(pad, np.uint8)])
+    q = num.reshape(-1, 4)
+    packed = (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
+    return packed.astype(np.uint8).tobytes()
+
+
+class QVEncoder:
+    """Huffman coding built from a training set of entries; encodes entries
+    in the exact `.qvs` layout `read_quiva_qvs`/`qv_harness` consume."""
+
+    def __init__(self, entries: List[Dict[str, bytes]], prefix: str = "@fake",
+                 lossy: bool = False):
+        del_h = np.zeros(256, np.int64)
+        ins_h = np.zeros(256, np.int64)
+        mrg_h = np.zeros(256, np.int64)
+        sub_h = np.zeros(256, np.int64)
+        del_r = np.ones(256, np.int64)   # QV.c:909-911: run hists start at 1
+        sub_r = np.ones(256, np.int64)
+        tot = 0
+        del_char = -1
+        for e in entries:
+            dq = np.frombuffer(e["del_qv"], dtype=np.uint8)
+            del_h += np.bincount(dq, minlength=256)
+            ins_h += np.bincount(np.frombuffer(e["ins_qv"], np.uint8), minlength=256)
+            mrg_h += np.bincount(np.frombuffer(e["mrg_qv"], np.uint8), minlength=256)
+            sub_h += np.bincount(np.frombuffer(e["sub_qv"], np.uint8), minlength=256)
+            tot += len(dq)
+            if del_char < 0:
+                tag = np.frombuffer(e["del_tag"], dtype=np.uint8)
+                hit = np.nonzero((tag == ord("n")) | (tag == ord("N")))[0]
+                if len(hit):
+                    del_char = int(dq[hit[0]])
+        sub_char = -1
+        if tot >= 200000:
+            cand = int(np.argmax(sub_h))
+            if sub_h[cand] >= 0.5 * tot:  # Create_QVcoding (:1012)
+                sub_char = cand
+        if lossy:  # QV.c:1016-1031: drop low ins/mrg bits
+            ins_h = ins_h.reshape(128, 2).sum(1).repeat(2)
+            ins_h[1::2] = 0
+            mrg_h = mrg_h.reshape(64, 4).sum(1).repeat(4)
+            mrg_h[np.arange(256) % 4 != 0] = 0
+        for e in entries:
+            if del_char >= 0:
+                _hist_runs(del_r, np.frombuffer(e["del_qv"], np.uint8), del_char)
+            if sub_char >= 0:
+                _hist_runs(sub_r, np.frombuffer(e["sub_qv"], np.uint8), sub_char)
+        if del_char >= 0:
+            del_h[del_char] = 0  # Create_QVcoding (:1060)
+        if sub_char >= 0:
+            sub_h[sub_char] = 0
+        self.lossy = lossy
+        self.prefix = prefix
+        self.del_char = del_char
+        self.sub_char = sub_char
+        self.del_scheme = _make_scheme(del_h)
+        self.drun_scheme = _make_scheme(del_r) if del_char >= 0 else None
+        self.ins_scheme = _make_scheme(ins_h)
+        self.mrg_scheme = _make_scheme(mrg_h)
+        self.sub_scheme = _make_scheme(sub_h)
+        self.srun_scheme = _make_scheme(sub_r) if sub_char >= 0 else None
+
+    def write_coding(self, out: BinaryIO) -> None:
+        """QV.c Write_QVcoding (:1136-1174)."""
+        out.write(struct.pack("<H", 0x33CC))
+        out.write(struct.pack("<H", 256 if self.del_char < 0 else self.del_char))
+        out.write(struct.pack("<H", 256 if self.sub_char < 0 else self.sub_char))
+        pfx = self.prefix.encode("latin-1")
+        out.write(struct.pack("<i", len(pfx)))
+        out.write(pfx)
+        _write_scheme(self.del_scheme, out)
+        if self.del_char >= 0:
+            _write_scheme(self.drun_scheme, out)
+        _write_scheme(self.ins_scheme, out)
+        _write_scheme(self.mrg_scheme, out)
+        _write_scheme(self.sub_scheme, out)
+        if self.sub_char >= 0:
+            _write_scheme(self.srun_scheme, out)
+
+    def write_entry(self, out: BinaryIO, e: Dict[str, bytes]) -> None:
+        """QV.c Compress_Next_QVentry (:1306-1351)."""
+        dq = e["del_qv"]
+        ins, mrg = e["ins_qv"], e["mrg_qv"]
+        if self.lossy:
+            ins = bytes((b >> 1) << 1 for b in ins)
+            mrg = bytes((b >> 2) << 2 for b in mrg)
+        if self.del_char < 0:
+            _encode(self.del_scheme, out, dq)
+            tag = e["del_tag"]
+        else:
+            _encode_run(self.del_scheme, self.drun_scheme, out, dq, self.del_char)
+            keep = np.frombuffer(dq, np.uint8) != self.del_char
+            tag = np.frombuffer(e["del_tag"], np.uint8)[keep].tobytes()
+        out.write(_pack_2bit(tag))
+        _encode(self.ins_scheme, out, ins)
+        _encode(self.mrg_scheme, out, mrg)
+        if self.sub_char < 0:
+            _encode(self.sub_scheme, out, e["sub_qv"])
+        else:
+            _encode_run(self.sub_scheme, self.srun_scheme, out, e["sub_qv"],
+                        self.sub_char)
+
+
+def _hist_runs(run: np.ndarray, stream: np.ndarray, rchar: int) -> None:
+    """QV.c Histogram_Runs (:746-762), vectorized: run lengths of rchar
+    before each non-rchar symbol (and the trailing run), capped at 255."""
+    is_r = stream == rchar
+    n = len(stream)
+    lit = np.nonzero(~is_r)[0]
+    prev = np.concatenate([[-1], lit[:-1]])
+    runs = lit - prev - 1
+    np.add.at(run, np.minimum(runs, 255), 1)
+    if len(lit) == 0:
+        np.add.at(run, min(n, 255), 1)
+    elif lit[-1] != n - 1:
+        np.add.at(run, min(n - 1 - lit[-1], 255), 1)
+
+
+def write_quiva_qvs(path: str, entries: List[Dict[str, bytes]],
+                    prefix: str = "@fake", lossy: bool = False) -> QVEncoder:
+    """Encode entries as a single-file `.qvs` (coding block + one entry per
+    read — the inverse of read_quiva_qvs)."""
+    enc = QVEncoder(entries, prefix=prefix, lossy=lossy)
+    with open(path, "wb") as f:
+        enc.write_coding(f)
+        for e in entries:
+            enc.write_entry(f, e)
+    return enc

@@ -96,16 +96,19 @@ def _hinge_kernel(
     # pileup window size at each element (same direction as the sort):
     # out: count of j >= idx with firs[j] - firs[idx] < hbl
     # in : count of j >= idx with firs[idx] - firs[j] < hbl
-    d = jnp.where(is_out[:, :, None], firs[:, None, :] - firs[:, :, None],
-                  firs[:, :, None] - firs[:, None, :])  # [T, idx, j]
-    in_win = (d < hbl) & vals[:, None, :]
-    cnt_lt = in_win.sum(axis=2)  # includes j < idx within the window...
-    # only j >= idx count: sorted order makes the window contiguous from
-    # idx, so subtract the elements before idx that are inside it
-    before = (jnp.arange(firs.shape[1])[None, None, :]
-              < jnp.arange(firs.shape[1])[None, :, None])
-    cnt_before = (in_win & before).sum(axis=2)
-    pileup_len = cnt_lt - cnt_before
+    # The primary sort key (±first, BIG for non-supporters) is non-decreasing
+    # along each row, so the window is contiguous from idx and one
+    # searchsorted per row replaces the old [T, P, P] pairwise matrix
+    # (134MB of intermediates that thrashed the allocator when this kernel
+    # interleaved with the 20M-point trim lattice).
+    g = jnp.take_along_axis(k1, o1, axis=1)
+    g = jnp.take_along_axis(g, o2, axis=1)  # == k1 sorted (primary key)
+    upto = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(
+        g, g + hbl
+    )
+    pileup_len = upto.astype(jnp.int32) - jnp.arange(
+        g.shape[1], dtype=jnp.int32
+    )[None, :]
     succ = c_flag & (pileup_len > hbpt)
 
     P = firs.shape[1]

@@ -12,7 +12,11 @@ OUT="$HERE/bin"
 OBJ="$HERE/obj"
 mkdir -p "$OUT" "$OBJ"
 
-CFLAGS="-O2 -fopenmp -I$REF/src/include"
+# -fno-strict-aliasing: QV.c's Decode (QV.c:546-635) reads the uint64 bit
+# window through uint32*/uint16*/uint8* casts — UB that modern gcc -O2
+# miscompiles (verified: Uncompress_Next_QVentry mis-decodes its own
+# compressor's output without this flag).
+CFLAGS="-O2 -fno-strict-aliasing -fopenmp -I$REF/src/include"
 # -include cassert: the real boost headers pull in <cassert> transitively;
 # draft.cpp uses assert() without including it itself.
 CXXFLAGS="-std=gnu++11 -O2 -fopenmp -I$REF/src/include -I$HERE/shim -include cassert -Wno-deprecated-declarations"
@@ -72,6 +76,11 @@ link consensus    "$OBJ/consensus.o" $LIBS $FALCON
 # tests of hinge_tpu/io/qv.py)
 if [ ! -f "$OUT/qv_harness" ] || [ "$HERE/qv_harness.c" -nt "$OUT/qv_harness" ]; then
     gcc $CFLAGS "$HERE/qv_harness.c" "$OBJ/QV.o" "$OBJ/DB.o" -lm -o "$OUT/qv_harness"
+fi
+# decompress direction: validate hinge_tpu's Python ENCODER against the
+# vendored decompressor
+if [ ! -f "$OUT/qv_unharness" ] || [ "$HERE/qv_unharness.c" -nt "$OUT/qv_unharness" ]; then
+    gcc $CFLAGS "$HERE/qv_unharness.c" "$OBJ/QV.o" "$OBJ/DB.o" -lm -o "$OUT/qv_unharness"
 fi
 
 echo "refbuild: binaries in $OUT"

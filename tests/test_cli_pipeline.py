@@ -63,6 +63,7 @@ def _run_cli(args, cwd):
     return r.stdout
 
 
+@pytest.mark.slow
 def test_cli_stage_by_stage(dataset):
     tmp = str(dataset["tmp"])
     fasta, las = dataset["fasta"], dataset["las"]

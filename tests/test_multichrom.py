@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hinge_tpu.data.simulator import (
     SimParams, chrom_offsets, simulate, telomere_regions,
 )

@@ -68,6 +68,7 @@ def _make_pair(rng, n, err):
     return np.array(q, np.uint8), t
 
 
+@pytest.mark.slow
 def test_rows_match_full_dp_oracle():
     rng = np.random.default_rng(3)
     pairs = [
@@ -102,6 +103,7 @@ def test_cost_never_worse_than_greedy_band():
         assert cost(got[i]) <= cost(align_full(qs[i], ts[i]))
 
 
+@pytest.mark.slow
 def test_rows_consume_both_sequences():
     rng = np.random.default_rng(4)
     q, t = _make_pair(rng, 120, 0.15)
@@ -119,6 +121,7 @@ def test_band_overflow_falls_back():
     np.testing.assert_array_equal(tr[tr != GAP], t)
 
 
+@pytest.mark.slow
 def test_fast_align_mode_draft_e2e(tmp_path):
     """HINGE_FAST_ALIGN=1 routes draft ladder windows through the Pallas
     kernel; the assembly must still reconstruct the genome (rows are

@@ -169,3 +169,78 @@ def test_read_db_qvs_integration(harness, tmp_path):
         assert got["del_qv"] == dqv and got["del_tag"] == tag
         assert got["ins_qv"] == iqv and got["mrg_qv"] == mqv
         assert got["sub_qv"] == sqv
+
+
+@pytest.mark.parametrize("with_runs,lossy", [(False, 0), (True, 0), (True, 1)])
+def test_qvs_encode_roundtrip_own_decoder(tmp_path, with_runs, lossy):
+    """Write path (QV.c Compress_QV side re-derived): encode entries and
+    decode them back with our own decoder."""
+    from hinge_tpu.io.qv import read_quiva_qvs, write_quiva_qvs
+
+    rng = np.random.default_rng(23 + with_runs + lossy)
+    quiva = str(tmp_path / "in.quiva")
+    if with_runs:
+        n_reads, mean_len = 300, 800
+    else:
+        n_reads, mean_len = 20, 500
+    raw = _make_quiva(quiva, n_reads, mean_len, rng, with_runs)
+    entries = [
+        dict(del_qv=d, del_tag=t, ins_qv=i, mrg_qv=m, sub_qv=s)
+        for d, t, i, m, s in raw
+    ]
+    qvs = str(tmp_path / "enc.qvs")
+    enc = write_quiva_qvs(qvs, entries, lossy=bool(lossy))
+    if with_runs:
+        assert enc.del_char >= 0, "run path must engage"
+        assert enc.sub_char >= 0
+    decoded = read_quiva_qvs(qvs, [len(e["del_qv"]) for e in entries])
+    for got, e in zip(decoded, entries):
+        assert got["del_qv"] == e["del_qv"]
+        assert got["del_tag"] == e["del_tag"]
+        if lossy:
+            assert got["ins_qv"] == bytes((b >> 1) << 1 for b in e["ins_qv"])
+            assert got["mrg_qv"] == bytes((b >> 2) << 2 for b in e["mrg_qv"])
+        else:
+            assert got["ins_qv"] == e["ins_qv"]
+            assert got["mrg_qv"] == e["mrg_qv"]
+        assert got["sub_qv"] == e["sub_qv"]
+
+
+@pytest.mark.parametrize("with_runs", [False, True])
+def test_qvs_encode_decodes_with_reference_decompressor(harness, tmp_path,
+                                                        with_runs):
+    """Our encoder's output must decode bit-exactly with the VENDORED
+    QV.c decompressor (refbuild/qv_unharness.c)."""
+    from hinge_tpu.io.qv import write_quiva_qvs
+
+    unharness = os.path.join(REFBUILD, "bin", "qv_unharness")
+    assert os.path.exists(unharness)
+    rng = np.random.default_rng(31 + with_runs)
+    quiva = str(tmp_path / "in.quiva")
+    if with_runs:
+        n_reads, mean_len = 300, 800
+    else:
+        n_reads, mean_len = 20, 500
+    raw = _make_quiva(quiva, n_reads, mean_len, rng, with_runs)
+    entries = [
+        dict(del_qv=d, del_tag=t, ins_qv=i, mrg_qv=m, sub_qv=s)
+        for d, t, i, m, s in raw
+    ]
+    qvs = str(tmp_path / "enc.qvs")
+    write_quiva_qvs(qvs, entries)
+    lens_txt = str(tmp_path / "lens.txt")
+    with open(lens_txt, "w") as f:
+        for e in entries:
+            f.write(f"{len(e['del_qv'])}\n")
+    out_txt = str(tmp_path / "dec.txt")
+    r = subprocess.run([unharness, qvs, lens_txt, out_txt],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = open(out_txt, "rb").read().split(b"\n")
+    for i, e in enumerate(entries):
+        d, t, iq, m, s = lines[5 * i : 5 * i + 5]
+        assert d == e["del_qv"], i
+        assert t == e["del_tag"], i
+        assert iq == e["ins_qv"], i
+        assert m == e["mrg_qv"], i
+        assert s == e["sub_qv"], i

@@ -13,6 +13,8 @@ import networkx as nx
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hinge_tpu.config import nominal_config
 from hinge_tpu.data.simulator import SimParams, simulate
 from hinge_tpu.stages.clip import run_clip
