@@ -283,6 +283,16 @@ def cmd_split_las(args):
     print(f"[split_las] {len(parts)} parts")
 
 
+def cmd_merge_las(args):
+    """LAmerge equivalent: merge sorted .las parts into one
+    (reference README.md:101)."""
+    from hinge_tpu.io.las import merge_las
+
+    merged = merge_las(args.parts, out_path=args.out)
+    print(f"[merge_las] {len(args.parts)} parts -> {args.out} "
+          f"({merged.n} records)")
+
+
 def cmd_fasta2q(args):
     from hinge_tpu.io.fasta import iter_fastx
 
@@ -536,6 +546,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("las")
     sp.add_argument("--max-records", type=int, default=1_000_000)
     sp.set_defaults(func=cmd_split_las)
+
+    sp = sub.add_parser("merge_las", aliases=["merge-las"])
+    sp.add_argument("out")
+    sp.add_argument("parts", nargs="+")
+    sp.set_defaults(func=cmd_merge_las)
 
     sp = sub.add_parser("fasta2q")
     sp.add_argument("input")

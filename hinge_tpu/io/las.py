@@ -259,6 +259,44 @@ def write_las(path: str, ov: OverlapStore, tspace: Optional[int] = None) -> None
                 f.write(tr.astype("<u2").tobytes())
 
 
+def merge_las(paths, out_path: Optional[str] = None,
+              read_lengths: Optional[np.ndarray] = None) -> OverlapStore:
+    """LAmerge equivalent (reference `README.md:101`; DALIGNER submodule is
+    empty in the checkout, so semantics follow LAsort's documented record
+    order): k-way merge of sorted `.las` parts on (aread, bread, comp flag,
+    abpos), ties keeping input-file order.  Inputs need not actually be
+    sorted — unsorted parts simply get sorted, like running LAsort first.
+
+    Returns the merged store; also writes ``out_path`` when given.
+    """
+    stores = [read_las(p, read_lengths=read_lengths) for p in paths]
+    if not stores:
+        raise ValueError("merge_las: no input files")
+    tspace = stores[0].tspace
+    for p, s in zip(paths[1:], stores[1:]):
+        if s.tspace != tspace:
+            raise ValueError(
+                f"merge_las: {p} has tspace {s.tspace} != {tspace}")
+    cols = {}
+    for k in ("a_id", "b_id", "a_len", "b_len", "a_start", "a_end",
+              "b_start", "b_end", "rc", "diffs", "tlen"):
+        cols[k] = np.concatenate([getattr(s, k) for s in stores])
+    # trace offsets shift by the cumulative trace length of earlier parts
+    tr_base = np.cumsum([0] + [len(s.trace) for s in stores[:-1]])
+    cols["trace_off"] = np.concatenate(
+        [s.trace_off + b for s, b in zip(stores, tr_base)])
+    trace = np.concatenate([s.trace for s in stores]) if stores else np.zeros(0, np.uint16)
+    # raw bbpos (pre-flip) is what LAsort compares; our b_start is the
+    # forward-strand flip, so recover abpos ordering keys only (aread,
+    # bread, comp, abpos) — abpos is stored unflipped in a_start.
+    order = np.lexsort((cols["a_start"], cols["rc"], cols["b_id"], cols["a_id"]))
+    merged = OverlapStore(trace=trace, tspace=tspace,
+                          **{k: v for k, v in cols.items()}).take(order)
+    if out_path is not None:
+        write_las(out_path, merged)
+    return merged
+
+
 def split_las(ov: OverlapStore, n_reads: int, max_records: int):
     """Partition a store into A-id-contiguous parts (reference `split_las.py`:
     wraps DAZZ_DB LAsplit to shard by size; here we shard by record count but

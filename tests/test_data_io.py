@@ -94,6 +94,55 @@ def test_split_las(small_sim):
         last_a = p.a_id[-1]
 
 
+def test_merge_las(tmp_path, small_sim):
+    """LAmerge equivalent: split parts merge back to the original store
+    byte-for-byte, and block-vs-block (interleaved) parts merge into
+    (aread, bread, comp, abpos) order with stable ties."""
+    from hinge_tpu.io.las import merge_las
+
+    ov = small_sim["overlaps"]
+    n_reads = small_sim["read_store"].n_reads
+    parts = split_las(ov, n_reads, max_records=max(10, ov.n // 3))
+    paths = []
+    for i, p in enumerate(parts):
+        path = str(tmp_path / f"part.{i + 1}.las")
+        write_las(path, p)
+        paths.append(path)
+    out = str(tmp_path / "merged.las")
+    merge_las(paths, out_path=out)
+    # merged file == the whole store LAsorted (aread, bread, comp, abpos)
+    whole = str(tmp_path / "whole.las")
+    order = np.lexsort((ov.a_start, ov.rc, ov.b_id, ov.a_id))
+    write_las(whole, ov.take(order).compact_traces())
+    assert open(out, "rb").read() == open(whole, "rb").read()
+
+    # block-vs-block parts (B-id split, the HPC.daligner layout): every
+    # part covers all A-reads; the merge must interleave by sort key
+    mid = int(np.median(ov.b_id))
+    lo = ov.take(np.nonzero(ov.b_id <= mid)[0])
+    hi = ov.take(np.nonzero(ov.b_id > mid)[0])
+    p1, p2 = str(tmp_path / "b1.las"), str(tmp_path / "b2.las")
+    write_las(p1, lo)
+    write_las(p2, hi)
+    merged = merge_las([p1, p2])
+    assert merged.n == ov.n
+    key = np.stack([merged.a_id, merged.b_id, merged.rc, merged.a_start])
+    assert (np.lexsort(key[::-1]) == np.arange(merged.n)).all() or all(
+        tuple(key[:, i]) <= tuple(key[:, i + 1]) for i in range(merged.n - 1)
+    )
+
+
+def test_merge_las_tspace_mismatch(tmp_path, small_sim):
+    from hinge_tpu.io.las import merge_las
+
+    ov = small_sim["overlaps"]
+    p1, p2 = str(tmp_path / "a.las"), str(tmp_path / "b.las")
+    write_las(p1, ov, tspace=100)
+    write_las(p2, ov, tspace=126)
+    with pytest.raises(ValueError, match="tspace"):
+        merge_las([p1, p2])
+
+
 def test_paf_roundtrip(tmp_path, small_sim):
     ov = small_sim["overlaps"]
     path = str(tmp_path / "test.paf")
