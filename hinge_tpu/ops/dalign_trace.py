@@ -526,8 +526,9 @@ def align_overlap_rows_exact(
 
     out_a: List[List[np.ndarray]] = [[] for _ in items]
     out_b: List[List[np.ndarray]] = [[] for _ in items]
+    owner = batch.owner  # property concatenates — materialize ONCE
     for w, (ra, rb) in enumerate(rows):
-        o = batch.owner[w]
+        o = owner[w]
         out_a[o].append(ra)
         out_b[o].append(rb)
     return [
