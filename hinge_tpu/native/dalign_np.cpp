@@ -398,6 +398,26 @@ int dalign_rows_batch_mt(const uint8_t *abuf, const uint8_t *bbuf,
     return bad.load() ? -1 : 0;
 }
 
+// In-place dense compaction of the capacity-strided row buffers: window w's
+// rows move from out_off[w] down to the running dense offset.  Offsets are
+// the cumulative capacities (out_len[w] <= capacity), so dst <= out_off[w]
+// always holds and a single forward memmove pass is safe.  Returns the
+// dense total length.
+int64_t dalign_compact_rows(uint8_t *out_a, uint8_t *out_b,
+                            const int64_t *out_off, const int32_t *out_len,
+                            int64_t n_windows) {
+    int64_t dst = 0;
+    for (int64_t w = 0; w < n_windows; w++) {
+        const int64_t L = out_len[w];
+        if (out_off[w] != dst && L > 0) {
+            memmove(out_a + dst, out_a + out_off[w], L);
+            memmove(out_b + dst, out_b + out_off[w], L);
+        }
+        dst += L;
+    }
+    return dst;
+}
+
 // Diffs-only batch: same exact wave, but only the per-window mismatch-column
 // count comes back — no row materialization, no output buffers.
 int dalign_diffs_batch(const uint8_t *abuf, const uint8_t *bbuf,

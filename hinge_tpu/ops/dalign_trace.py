@@ -367,6 +367,43 @@ class _WindowBatch:
                 rows.append(script_to_rows(wa, wb, script))
         return rows
 
+    def align_flat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All window rows as flat (flat_a, flat_b, win_len) in window order —
+        no per-window array materialization (the per-window list in align()
+        dominated the host profile at 10^5-read consensus scale)."""
+        n = self._n
+        z = np.zeros(0, np.uint8)
+        if n == 0:
+            return z, z, np.zeros(0, np.int64)
+        abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail = self._flat()
+        raw = _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail,
+                               b_ptr, b_len, b_avail)
+        if raw is None:
+            rows = []
+            for w in range(n):
+                script = iter_np_script(abuf, int(a_ptr[w]), int(a_len[w]),
+                                        bbuf, int(b_ptr[w]), int(b_len[w]))
+                wa = abuf[a_ptr[w] : a_ptr[w] + a_len[w]]
+                wb = bbuf[b_ptr[w] : b_ptr[w] + b_len[w]]
+                rows.append(script_to_rows(wa, wb, script))
+            flat_a = np.concatenate([ra for ra, _ in rows]) if rows else z
+            flat_b = np.concatenate([rb for _, rb in rows]) if rows else z
+            win_len = np.array([len(ra) for ra, _ in rows], np.int64)
+            return flat_a, flat_b, win_len
+        out_a, out_b, out_off, out_len = raw
+        # compact the capacity-strided native buffers into dense flat rows
+        win_len = out_len.astype(np.int64)
+        tot = _native_compact(out_a, out_b, out_off, out_len)
+        if tot is not None:
+            return out_a[:tot], out_b[:tot], win_len
+        # numpy fallback: one gather (out_len <= capacity per window)
+        tot = int(win_len.sum())
+        dst_off = np.zeros(n, np.int64)
+        np.cumsum(win_len[:-1], out=dst_off[1:])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(dst_off, win_len)
+        src = np.repeat(out_off, win_len) + within
+        return out_a[src], out_b[src], win_len
+
     def diffs(self) -> np.ndarray:
         """Per-window mismatch-column counts of the exact alignments —
         computed natively WITHOUT materializing rows when possible."""
@@ -383,6 +420,37 @@ class _WindowBatch:
 
 
 def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
+    raw = _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail,
+                           b_ptr, b_len, b_avail)
+    if raw is None:
+        return None
+    out_a, out_b, out_off, out_len = raw
+    return [
+        (out_a[o : o + L].copy(), out_b[o : o + L].copy())
+        for o, L in zip(out_off, out_len)
+    ]
+
+
+def _native_compact(out_a, out_b, out_off, out_len):
+    """In-place dense compaction of capacity-strided row buffers (C memmove
+    pass); returns the dense total or None when the native lib is missing."""
+    from hinge_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "dalign_compact_rows"):
+        return None
+    import ctypes as c
+
+    return int(lib.dalign_compact_rows(
+        out_a.ctypes.data_as(c.POINTER(c.c_uint8)),
+        out_b.ctypes.data_as(c.POINTER(c.c_uint8)),
+        out_off.ctypes.data_as(c.POINTER(c.c_int64)),
+        out_len.ctypes.data_as(c.POINTER(c.c_int32)),
+        c.c_int64(len(out_len)),
+    ))
+
+
+def _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
     import os as _os
 
     from hinge_tpu import native
@@ -429,10 +497,7 @@ def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
         )
     if rc != 0:
         return None
-    return [
-        (out_a[o : o + L].copy(), out_b[o : o + L].copy())
-        for o, L in zip(out_off, out_len)
-    ]
+    return out_a, out_b, out_off, out_len
 
 
 def _native_diffs(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
@@ -508,11 +573,13 @@ def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
         ov.diffs.dtype)
 
 
-def align_overlap_rows_exact(
+def align_overlap_rows_exact_flat(
     items: Sequence[Tuple],
-) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Exact full alignment rows for many overlaps (the reference's
-    recoverAlignment + getAlignmentTags, batched).
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact full alignment rows for many overlaps, flat: returns
+    (flat_a, flat_b, item_len) where item i's rows occupy the flat slice
+    [sum(item_len[:i]), sum(item_len[:i+1])).  Windows are appended per
+    item in item order, so the flat window order IS item order.
 
     items: sequence of (a_seq, b_frame, a_start, a_end, b_start, b_end,
     trace_pairs, tspace) — same tuple shape as
@@ -522,17 +589,24 @@ def align_overlap_rows_exact(
         batch.add_overlap(idx, np.asarray(a_seq, np.uint8),
                           np.asarray(b_frame, np.uint8),
                           int(a0), int(a1), int(b0), int(b1), tp, int(tspace))
-    rows = batch.align()
+    flat_a, flat_b, win_len = batch.align_flat()
+    owner = batch.owner
+    item_len = np.zeros(len(items), np.int64)
+    if len(owner):
+        np.add.at(item_len, owner, win_len)
+    return flat_a, flat_b, item_len
 
-    out_a: List[List[np.ndarray]] = [[] for _ in items]
-    out_b: List[List[np.ndarray]] = [[] for _ in items]
-    owner = batch.owner  # property concatenates — materialize ONCE
-    for w, (ra, rb) in enumerate(rows):
-        o = owner[w]
-        out_a[o].append(ra)
-        out_b[o].append(rb)
+
+def align_overlap_rows_exact(
+    items: Sequence[Tuple],
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Exact full alignment rows for many overlaps (the reference's
+    recoverAlignment + getAlignmentTags, batched).  Returns per-item
+    (row_a, row_b) VIEWS into one flat buffer — copy anything mutated."""
+    flat_a, flat_b, item_len = align_overlap_rows_exact_flat(items)
+    off = np.zeros(len(items) + 1, np.int64)
+    np.cumsum(item_len, out=off[1:])
     return [
-        (np.concatenate(a) if a else np.zeros(0, np.uint8),
-         np.concatenate(b) if b else np.zeros(0, np.uint8))
-        for a, b in zip(out_a, out_b)
+        (flat_a[off[i] : off[i + 1]], flat_b[off[i] : off[i + 1]])
+        for i in range(len(items))
     ]

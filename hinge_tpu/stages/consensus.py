@@ -43,6 +43,98 @@ def chop_end(row_a: np.ndarray, row_b: np.ndarray, chop: int):
     return row_a[start : n - chop], row_b[start : n - chop], offset
 
 
+def _vote_pairs_flat(
+    flat_a: np.ndarray,   # uint8 alignment A rows, all reads concatenated
+    flat_b: np.ndarray,   # uint8 alignment B rows, same layout
+    seg_len: np.ndarray,  # int64 row length per read
+    pos0: np.ndarray,     # int64 a_start per read
+    alen: int,
+    chop: int = 100,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Segment-vectorized chop_end + column-position walk over ALL reads'
+    alignment rows at once.  Returns the vote pairs (pm, bm, pi, bi):
+    match (position, base) and insertion (position, base), exactly the
+    per-read loop's concatenated output (consensus.cpp:162-230 semantics,
+    chop_end per :28-45)."""
+    total = int(flat_a.size)
+    n = int(seg_len.size)
+    if total == 0 or n == 0:
+        z64, z8 = np.zeros(0, np.int64), np.zeros(0, np.uint8)
+        return z64, z8, z64, z8
+    seg_len = seg_len.astype(np.int64)
+    seg_off = np.zeros(n + 1, np.int64)
+    np.cumsum(seg_len, out=seg_off[1:])
+    seg_id = np.repeat(np.arange(n, dtype=np.int64), seg_len)
+    k = np.arange(total, dtype=np.int64) - np.repeat(seg_off[:-1], seg_len)
+    a_nogap = flat_a != GAP
+    ps = np.zeros(total + 1, np.int64)
+    np.cumsum(a_nogap, out=ps[1:])
+
+    big = seg_len >= 2 * chop + 10
+    # chop_end's leading-gap skip: first k >= chop with A non-gap (else n).
+    # Rank/gather instead of a 10^7-element unique: the first non-gap at or
+    # after flat position s is ng_idx[ps[s]].
+    ng_idx = np.flatnonzero(a_nogap)
+    s = seg_off[:-1] + np.minimum(np.int64(chop), seg_len)
+    rank = ps[s]
+    if ng_idx.size:
+        j = ng_idx[np.minimum(rank, ng_idx.size - 1)]
+        hit = (rank < ng_idx.size) & (j < seg_off[1:])
+        first_k = np.where(hit, j - seg_off[:-1], seg_len)
+    else:
+        first_k = seg_len
+    start_k = np.where(big, first_k, 0)
+    end_k = np.where(big, seg_len - chop, seg_len)
+    # offset = A non-gaps before the chop start (chop_end's return offset)
+    offset = ps[seg_off[:-1] + start_k] - ps[seg_off[:-1]]
+
+    keep = (k >= start_k[seg_id]) & (k < end_k[seg_id])
+    x = a_nogap & keep
+    csx = np.zeros(total + 1, np.int64)
+    np.cumsum(x, out=csx[1:])
+    # non-gaps strictly before each column within its read's kept region
+    before = csx[:-1] - csx[seg_off[:-1]][seg_id]
+    pos = (pos0 + offset)[seg_id] + before
+    valid = keep & (pos < alen)
+    m_match = a_nogap & valid
+    m_ins = (~a_nogap) & (flat_b != GAP) & valid
+    return pos[m_match], flat_b[m_match], pos[m_ins], flat_b[m_ins]
+
+
+def _vote_tallies(
+    flat_a: np.ndarray, flat_b: np.ndarray, seg_len: np.ndarray,
+    pos0: np.ndarray, alen: int, chop: int = 100,
+    chunk_cols: int = 8_000_000,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Accumulated vote tables (scores[alen,5], cov[alen], ins_score[alen],
+    ins_scores[alen,5]) over read chunks of ~chunk_cols alignment columns —
+    bounds the int64 working set at the 10^5-read scale (a 10^9-column flat
+    buffer would otherwise need ~5x8 GB of temporaries)."""
+    n = int(seg_len.size)
+    scores = np.zeros(alen * 5, np.int64)
+    cov = np.zeros(alen, np.int64)
+    ins_score = np.zeros(alen, np.int64)
+    ins_scores = np.zeros(alen * 5, np.int64)
+    seg_off = np.zeros(n + 1, np.int64)
+    np.cumsum(seg_len, out=seg_off[1:])
+    s0 = 0
+    while s0 < n:
+        s1 = int(np.searchsorted(seg_off, seg_off[s0] + chunk_cols, "right")) - 1
+        s1 = max(s1, s0 + 1)
+        lo, hi = int(seg_off[s0]), int(seg_off[s1])
+        pm, bm, pi, bi = _vote_pairs_flat(
+            flat_a[lo:hi], flat_b[lo:hi], seg_len[s0:s1], pos0[s0:s1],
+            alen, chop=chop)
+        scores += np.bincount(pm * 5 + bm, minlength=alen * 5)
+        cov += np.bincount(pm, minlength=alen)[:alen]
+        ins_score += np.bincount(pi, minlength=alen)[:alen]
+        ins_scores += np.bincount(pi * 5 + bi, minlength=alen * 5)
+        s0 = s1
+    return (scores.reshape(alen, 5).astype(np.int32),
+            cov.astype(np.int32), ins_score.astype(np.int32),
+            ins_scores.reshape(alen, 5).astype(np.int32))
+
+
 def remove_multialign(rows: np.ndarray, ov: OverlapStore, min_len: int) -> List[int]:
     """Best alignment per B read with span >= min_len (consensus.cpp:62-75);
     rows must already be sorted by descending summed match length."""
@@ -86,50 +178,36 @@ def run_consensus(
             results.append((f"Consensus{ci}", contigs[ci][1]))
             continue
 
-        # all alignment rows for this contig in pooled window batches
+        # all alignment rows for this contig in one flat pooled buffer
         items = []
         traced = []
+        fb_a, fb_b, fb_pos0 = [], [], []
         for r in sel:
             it = _row_item(aln, r, tmpl, rs)
             if it is not None:
                 items.append(it)
                 traced.append(r)
-        # exact recoverAlignment+getAlignmentTags rows (ops/dalign_trace.py)
-        bulk = DT.align_overlap_rows_exact(items)
-        rows_by_r = dict(zip(traced, bulk))
-
-        # pooled column vote: gather every read's (pos, base) pairs, then
-        # ONE bincount per tally (np.add.at per read was the profile's top
-        # host cost at the 10^5-read scale)
-        pm_l, bm_l, pi_l, bi_l = [], [], [], []
-        for r in sel:
-            if r in rows_by_r:
-                rowA, rowB = rows_by_r[r]
             else:
-                rowA, rowB = _contig_read_rows(aln, r, tmpl, rs, band)
-            rowA, rowB, offset = chop_end(rowA, rowB, 100)
-            pos0 = int(aln.a_start[r]) + offset
-            a_nogap = rowA != GAP
-            pos = pos0 + np.cumsum(a_nogap) - a_nogap  # position per column
-            valid = pos < alen
-            m_match = a_nogap & valid
-            pm_l.append(pos[m_match])
-            bm_l.append(rowB[m_match])
-            m_ins = (~a_nogap) & (rowB != GAP) & valid
-            pi_l.append(pos[m_ins])
-            bi_l.append(rowB[m_ins])
-        pm = np.concatenate(pm_l) if pm_l else np.zeros(0, np.int64)
-        bm = np.concatenate(bm_l) if bm_l else np.zeros(0, np.uint8)
-        pi = np.concatenate(pi_l) if pi_l else np.zeros(0, np.int64)
-        bi = np.concatenate(bi_l) if bi_l else np.zeros(0, np.uint8)
-        scores = np.bincount(
-            pm.astype(np.int64) * 5 + bm, minlength=alen * 5
-        ).reshape(alen, 5).astype(np.int32)
-        cov = np.bincount(pm, minlength=alen).astype(np.int32)[:alen]
-        ins_score = np.bincount(pi, minlength=alen).astype(np.int32)[:alen]
-        ins_scores = np.bincount(
-            pi.astype(np.int64) * 5 + bi, minlength=alen * 5
-        ).reshape(alen, 5).astype(np.int32)
+                ra, rb = _contig_read_rows(aln, r, tmpl, rs, band)
+                fb_a.append(np.asarray(ra, np.uint8))
+                fb_b.append(np.asarray(rb, np.uint8))
+                fb_pos0.append(int(aln.a_start[r]))
+        # exact recoverAlignment+getAlignmentTags rows (ops/dalign_trace.py)
+        flat_a, flat_b, seg_len = DT.align_overlap_rows_exact_flat(items)
+        pos0 = aln.a_start[traced].astype(np.int64)
+        if fb_a:
+            flat_a = np.concatenate([flat_a] + fb_a)
+            flat_b = np.concatenate([flat_b] + fb_b)
+            seg_len = np.concatenate(
+                [seg_len, np.array([len(x) for x in fb_a], np.int64)])
+            pos0 = np.concatenate([pos0, np.array(fb_pos0, np.int64)])
+
+        # pooled column vote, fully segment-vectorized in bounded chunks:
+        # (pos, base) pairs of every read at once, then ONE bincount per
+        # tally per chunk (the per-read Python loop was 54% of consensus
+        # wall in the host profile)
+        scores, cov, ins_score, ins_scores = _vote_tallies(
+            flat_a, flat_b, seg_len, pos0, alen)
 
         # emission (consensus.cpp:231-269), vectorized: each draft position
         # emits 0-2 bytes (optional insertion + base-or-deletion); build the
