@@ -434,6 +434,53 @@ def run_sharded_matching_position(
     return out
 
 
+def run_sharded_hinge_call(
+    pos_a, grad, m0, m1, rid,
+    ams, ame, lov, rov, valid,
+    mesh: Mesh,
+    *, theta: int, htl: int, hbl: int, hrut: int, hbpt: int,
+):
+    """Sharded hinge-calling (filter.cpp:838-1070): the (read, annotation)
+    task rows shard over the flat mesh; the per-read padded pileup tables
+    are replicated (every task reads only its own read's row, so there is
+    no cross-shard term).  Bit-identical to ops.hinge_call._hinge_kernel."""
+    from hinge_tpu.ops.hinge_call import _hinge_kernel
+
+    spec = _flat_mesh_spec(mesh)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    T = len(pos_a)
+    tpad = ((T + n_dev - 1) // n_dev) * n_dev
+    chunk = tpad // n_dev
+
+    def _pad2(x, fill=0):
+        out = np.full(tpad, fill, np.asarray(x).dtype)
+        out[:T] = x
+        return out.reshape(n_dev, chunk)
+
+    def step(pos_a, grad, m0, m1, rid, ams, ame, lov, rov, valid):
+        b, s = _hinge_kernel(
+            pos_a.reshape(-1), grad.reshape(-1), m0.reshape(-1),
+            m1.reshape(-1), rid.reshape(-1),
+            ams, ame, lov, rov, valid,
+            theta=theta, htl=htl, hbl=hbl, hrut=hrut, hbpt=hbpt,
+        )
+        return b[None], s[None]
+
+    fn = jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(spec,) * 5 + (P(),) * 5,
+        out_specs=(spec, spec), check_vma=False,
+    ))
+    b, s = fn(
+        _pad2(np.asarray(pos_a, np.int32)), _pad2(np.asarray(grad, np.int32)),
+        _pad2(np.asarray(m0, np.int32)), _pad2(np.asarray(m1, np.int32)),
+        _pad2(np.asarray(rid, np.int32)),
+        jnp.asarray(ams), jnp.asarray(ame), jnp.asarray(lov),
+        jnp.asarray(rov), jnp.asarray(valid),
+    )
+    return np.asarray(b).reshape(-1)[:T], np.asarray(s).reshape(-1)[:T]
+
+
 def sharded_top_k_per_pair(ov, k: int, n_shards: int) -> np.ndarray:
     """Per-(A,B) top-k selection partitioned at A-read boundaries.
 

@@ -135,6 +135,27 @@ def _vote_tallies(
             ins_scores.reshape(alen, 5).astype(np.int32))
 
 
+def _tallies_dispatch(flat_a, flat_b, seg_len, pos0, alen):
+    """numpy tallies on CPU backends, device scatter-add kernel on TPU
+    (integer-exact either way; HINGE_DEVICE_VOTE=1/0 overrides)."""
+    import os
+
+    mode = os.environ.get("HINGE_DEVICE_VOTE", "auto")
+    use_dev = mode == "1"
+    if mode == "auto":
+        try:
+            import jax
+
+            use_dev = jax.default_backend() == "tpu"
+        except Exception:
+            use_dev = False
+    if use_dev:
+        from hinge_tpu.ops.consensus_vote import vote_tallies_device
+
+        return vote_tallies_device(flat_a, flat_b, seg_len, pos0, alen)
+    return _vote_tallies(flat_a, flat_b, seg_len, pos0, alen)
+
+
 def remove_multialign(rows: np.ndarray, ov: OverlapStore, min_len: int) -> List[int]:
     """Best alignment per B read with span >= min_len (consensus.cpp:62-75);
     rows must already be sorted by descending summed match length."""
@@ -205,8 +226,10 @@ def run_consensus(
         # pooled column vote, fully segment-vectorized in bounded chunks:
         # (pos, base) pairs of every read at once, then ONE bincount per
         # tally per chunk (the per-read Python loop was 54% of consensus
-        # wall in the host profile)
-        scores, cov, ins_score, ins_scores = _vote_tallies(
+        # wall in the host profile).  On a TPU backend the vote runs as a
+        # device scatter-add kernel (ops/consensus_vote.py, bit-identical);
+        # HINGE_DEVICE_VOTE=1/0 forces/disables it.
+        scores, cov, ins_score, ins_scores = _tallies_dispatch(
             flat_a, flat_b, seg_len, pos0, alen)
 
         # emission (consensus.cpp:231-269), vectorized: each draft position
