@@ -149,7 +149,11 @@ def mark_skipped_edges(G: nx.DiGraph, skipped_path: str):
 def dead_end_clipping_sym(G: nx.DiGraph, threshold: int) -> nx.DiGraph:
     """(:197-262)"""
     H = G.copy()
-    start_nodes = set(x for x in H.nodes() if H.in_degree(x) == 0)
+    # node-insertion order, not set(...): H.nodes() is already unique, and
+    # py3 string-set iteration is hash-randomized across runs (py2's — the
+    # reference's — string hash was fixed), so a set here would make clip
+    # output depend on PYTHONHASHSEED
+    start_nodes = [x for x in H.nodes() if H.in_degree(x) == 0]
     for st_node in start_nodes:
         if not H.has_node(st_node):
             continue
@@ -182,13 +186,20 @@ def z_clipping_sym(
     """(:331-390). Returns (H, G0) where G0 carries z annotations."""
     H = G.copy()
     G0 = G.copy()
-    start_nodes = set(
+    start_nodes = [
         x for x in H.nodes() if H.out_degree(x) > 1 and x not in out_hinges
-    )
+    ]
     for st_node in start_nodes:
         if not H.has_node(st_node):
             continue
         for sec_node in _succ(H, st_node):
+            # a prior arm's removal can delete st_node (via its mirror) or
+            # this sec_node; the reference crashes there (nx1.9 degree of a
+            # missing node) — skipping is the only defined continuation
+            if not H.has_node(st_node):
+                break
+            if not H.has_node(sec_node):
+                continue
             if H.out_degree(st_node) == 1:
                 break
             cur_node = sec_node
@@ -226,7 +237,7 @@ def z_clipping_sym(
 
 def bubble_bursting_sym(H: nx.DiGraph, threshold: int) -> nx.DiGraph:
     """(:561-622) — in place, like the reference."""
-    start_nodes = set(x for x in H.nodes() if H.out_degree(x) == 2)
+    start_nodes = [x for x in H.nodes() if H.out_degree(x) == 2]
     for st_node in start_nodes:
         if not H.has_node(st_node) or H.out_degree(st_node) < 2:
             continue
@@ -400,7 +411,7 @@ def loop_resolution(
 def y_pruning(G: nx.DiGraph, flank: int) -> nx.DiGraph:
     """Aggressive pruning of chimeric Y-fork targets (:841-888)."""
     H = G.copy()
-    y_nodes = set(x for x in H.nodes() if H.out_degree(x) > 1 and H.in_degree(x) == 1)
+    y_nodes = [x for x in H.nodes() if H.out_degree(x) > 1 and H.in_degree(x) == 1]
     for st_node in y_nodes:
         if not H.has_node(st_node):
             continue

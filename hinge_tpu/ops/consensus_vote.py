@@ -31,7 +31,8 @@ import numpy as np
 GAP = np.uint8(4)
 
 
-@functools.partial(__import__("jax").jit, static_argnames=("chop",))
+@functools.partial(__import__("jax").jit, static_argnames=("chop",),
+                   donate_argnums=(0, 1, 2, 3))
 def _vote_chunk_kernel(scores, cov, ins_score, ins_scores,
                        flat_a, flat_b, seg_off, pos0, alen, *, chop: int):
     """One chunk's vote, accumulated into the running tables.
@@ -187,15 +188,19 @@ def vote_tallies_device(
     np.cumsum(seg_len, out=seg_off[1:])
     alen_t = jnp.int32(alen)
 
+    # ONE static kernel shape per (chunk_cols, alen_pad): chunks cut at both
+    # a column budget and a fixed segment budget, so a remote TPU compiler
+    # (tunnel: minutes per shape variant) compiles exactly once
+    nseg_cap = max(256, chunk_cols // 4096)
     s0 = 0
     while s0 < n:
         s1 = int(np.searchsorted(seg_off, seg_off[s0] + chunk_cols, "right")) - 1
-        s1 = max(s1, s0 + 1)
+        s1 = min(max(s1, s0 + 1), s0 + nseg_cap, n)
         lo, hi = int(seg_off[s0]), int(seg_off[s1])
         ncols, nseg = hi - lo, s1 - s0
         # single oversize read: fall through with a chunk sized to it
         cpad = chunk_cols if ncols <= chunk_cols else _pad_pow2(ncols)
-        npad = _pad_pow2(nseg, lo=256)
+        npad = nseg_cap if cpad == chunk_cols else _pad_pow2(nseg, lo=256)
         fa = np.full(cpad, GAP, np.uint8)
         fb = np.full(cpad, GAP, np.uint8)
         fa[:ncols] = flat_a[lo:hi]

@@ -349,16 +349,43 @@ def band_align_batch(
         for i in overflow:
             out[i] = align_full(qs[i], ts[i])
     order = sorted(todo, key=lambda i: len(qs[i]))
+    # two-phase pipeline: dispatch every block's device work asynchronously
+    # first (jax enqueues uploads + both kernels without blocking), then
+    # sync + emit — the tunnel/PCIe transfer of block i overlaps the fill
+    # of block i+1 instead of serializing a roundtrip per block.  In-flight
+    # depth is bounded so the (B, Mpad, bw) move buffers don't pile up in
+    # HBM (~134 MB per 512-window block).
+    depth = 8
+    pending = []
+
+    def _drain():
+        while pending:
+            sel, qsel, tsel, B, cnts, mv0s, j_rem = pending.pop(0)
+            res = _emit_rowrec(qsel, tsel, np.asarray(cnts)[:B],
+                               np.asarray(mv0s)[:B], np.asarray(j_rem)[:B])
+            for j, i in enumerate(sel):
+                out[i] = res[j]
+
     for blk in range(0, len(order), max_batch):
         sel = order[blk : blk + max_batch]
-        res = _band_block([qs[i] for i in sel], [ts[i] for i in sel],
-                          bw, interpret)
-        for j, i in enumerate(sel):
-            out[i] = res[j]
+        qsel = [qs[i] for i in sel]
+        tsel = [ts[i] for i in sel]
+        cnts, mv0s, j_rem = _band_block_dispatch(qsel, tsel, bw, interpret)
+        pending.append((sel, qsel, tsel, len(sel), cnts, mv0s, j_rem))
+        if len(pending) >= depth:
+            _drain()
+    _drain()
     return out
 
 
 def _band_block(qs, ts, bw, interpret):
+    cnts, mv0s, j_rem = _band_block_dispatch(qs, ts, bw, interpret)
+    B = len(qs)
+    return _emit_rowrec(qs, ts, np.asarray(cnts)[:B], np.asarray(mv0s)[:B],
+                        np.asarray(j_rem)[:B])
+
+
+def _band_block_dispatch(qs, ts, bw, interpret):
     B = len(qs)
     WB = 32
     Bp = WB
@@ -390,5 +417,4 @@ def _band_block(qs, ts, bw, interpret):
     cnts, mv0s, j_rem = _row_traceback_pallas(
         moves, jnp.asarray(m), jnp.asarray(n), bw=bw,
         mrows=moves.shape[1], interpret=interpret)
-    return _emit_rowrec(qs, ts, np.asarray(cnts)[:B], np.asarray(mv0s)[:B],
-                        np.asarray(j_rem)[:B])
+    return cnts, mv0s, j_rem

@@ -64,8 +64,6 @@ def _vote_pairs_flat(
     seg_len = seg_len.astype(np.int64)
     seg_off = np.zeros(n + 1, np.int64)
     np.cumsum(seg_len, out=seg_off[1:])
-    seg_id = np.repeat(np.arange(n, dtype=np.int64), seg_len)
-    k = np.arange(total, dtype=np.int64) - np.repeat(seg_off[:-1], seg_len)
     a_nogap = flat_a != GAP
     ps = np.zeros(total + 1, np.int64)
     np.cumsum(a_nogap, out=ps[1:])
@@ -88,16 +86,30 @@ def _vote_pairs_flat(
     # offset = A non-gaps before the chop start (chop_end's return offset)
     offset = ps[seg_off[:-1] + start_k] - ps[seg_off[:-1]]
 
-    keep = (k >= start_k[seg_id]) & (k < end_k[seg_id])
+    # kept range per segment as +1/-1 boundary scatter + cumsum (avoids the
+    # per-column seg_id/k int64 repeats); same math as the device kernel
+    lo = seg_off[:-1] + start_k
+    hi = seg_off[:-1] + np.maximum(end_k, start_k)
+    d = np.zeros(total + 1, np.int32)
+    np.add.at(d, lo, 1)
+    np.add.at(d, hi, -1)
+    keep = np.cumsum(d[:total], dtype=np.int32) > 0
+
     x = a_nogap & keep
-    csx = np.zeros(total + 1, np.int64)
-    np.cumsum(x, out=csx[1:])
-    # non-gaps strictly before each column within its read's kept region
-    before = csx[:-1] - csx[seg_off[:-1]][seg_id]
-    pos = (pos0 + offset)[seg_id] + before
-    valid = keep & (pos < alen)
-    m_match = a_nogap & valid
-    m_ins = (~a_nogap) & (flat_b != GAP) & valid
+    c = np.cumsum(x, dtype=np.int64)  # inclusive kept non-gap count
+    starts = seg_off[:-1]
+    base = np.where(starts > 0, c[np.maximum(starts, 1) - 1], 0)
+    # pos[j] = segment's affine constant + kept non-gaps strictly before j,
+    # the constant rethreaded per segment through a difference scatter
+    A = pos0 + offset - base
+    Aprev = np.concatenate([np.zeros(1, np.int64), A[:-1]])
+    da = np.zeros(total, np.int64)
+    real = starts < total
+    np.add.at(da, starts[real], (A - Aprev)[real])
+    pos = np.cumsum(da) + c - x
+    in_range = keep & (pos < alen)
+    m_match = a_nogap & in_range
+    m_ins = (~a_nogap) & (flat_b != GAP) & in_range
     return pos[m_match], flat_b[m_match], pos[m_ins], flat_b[m_ins]
 
 
@@ -109,7 +121,13 @@ def _vote_tallies(
     """Accumulated vote tables (scores[alen,5], cov[alen], ins_score[alen],
     ins_scores[alen,5]) over read chunks of ~chunk_cols alignment columns —
     bounds the int64 working set at the 10^5-read scale (a 10^9-column flat
-    buffer would otherwise need ~5x8 GB of temporaries)."""
+    buffer would otherwise need ~5x8 GB of temporaries).
+
+    Segments are walked in CONTIG-POSITION order (the vote is a sum, so
+    read order is free), which keeps each chunk's votes inside a narrow
+    position window — the per-chunk bincounts are chunk-sized slices of the
+    tables instead of fresh alen*5 allocations (those dominated wall at
+    345M columns / 27.6Mb contigs: ~1.1 GB allocated+swept per chunk)."""
     n = int(seg_len.size)
     scores = np.zeros(alen * 5, np.int64)
     cov = np.zeros(alen, np.int64)
@@ -117,19 +135,34 @@ def _vote_tallies(
     ins_scores = np.zeros(alen * 5, np.int64)
     seg_off = np.zeros(n + 1, np.int64)
     np.cumsum(seg_len, out=seg_off[1:])
-    s0 = 0
-    while s0 < n:
-        s1 = int(np.searchsorted(seg_off, seg_off[s0] + chunk_cols, "right")) - 1
-        s1 = max(s1, s0 + 1)
-        lo, hi = int(seg_off[s0]), int(seg_off[s1])
+    order = np.argsort(pos0, kind="stable")
+    i = 0
+    while i < n:
+        cols, j = 0, i
+        while j < n and (cols == 0
+                         or cols + seg_len[order[j]] <= chunk_cols):
+            cols += int(seg_len[order[j]])
+            j += 1
+        idx = order[i:j]
+        fa = np.concatenate(
+            [flat_a[seg_off[s] : seg_off[s + 1]] for s in idx])
+        fb = np.concatenate(
+            [flat_b[seg_off[s] : seg_off[s + 1]] for s in idx])
         pm, bm, pi, bi = _vote_pairs_flat(
-            flat_a[lo:hi], flat_b[lo:hi], seg_len[s0:s1], pos0[s0:s1],
-            alen, chop=chop)
-        scores += np.bincount(pm * 5 + bm, minlength=alen * 5)
-        cov += np.bincount(pm, minlength=alen)[:alen]
-        ins_score += np.bincount(pi, minlength=alen)[:alen]
-        ins_scores += np.bincount(pi * 5 + bi, minlength=alen * 5)
-        s0 = s1
+            fa, fb, seg_len[idx], pos0[idx], alen, chop=chop)
+        if pm.size or pi.size:
+            lo = int(min(pm.min() if pm.size else alen,
+                         pi.min() if pi.size else alen))
+            hi = int(max(pm.max() if pm.size else 0,
+                         pi.max() if pi.size else 0)) + 1
+            w = hi - lo
+            scores[lo * 5 : hi * 5] += np.bincount(
+                (pm - lo) * 5 + bm, minlength=w * 5)
+            cov[lo:hi] += np.bincount(pm - lo, minlength=w)[:w]
+            ins_score[lo:hi] += np.bincount(pi - lo, minlength=w)[:w]
+            ins_scores[lo * 5 : hi * 5] += np.bincount(
+                (pi - lo) * 5 + bi, minlength=w * 5)
+        i = j
     return (scores.reshape(alen, 5).astype(np.int32),
             cov.astype(np.int32), ins_score.astype(np.int32),
             ins_scores.reshape(alen, 5).astype(np.int32))

@@ -441,14 +441,25 @@ def _align_ladder_pairs(pair_q, pair_t, band):
     kernel (partial rows, no pads — the unconsumed template tail must stay
     untagged for falcon-vote parity, draft.cpp:636-677).
 
-    HINGE_FAST_ALIGN=1 switches the non-identical windows to the Pallas
-    banded-NW TPU kernel (ops/pallas_band_nw) — optimal-cost rows, BETTER
+    On a TPU backend the non-identical windows DEFAULT to the Pallas
+    banded-NW kernel (ops/pallas_band_nw) — optimal-cost rows, BETTER
     alignments than the reference's greedy band (fewer edits -> cleaner
-    falcon votes) but NOT byte-identical to the reference draft output;
-    leave it off when reference parity matters."""
+    falcon votes) but NOT byte-identical to the reference draft output.
+    HINGE_PARITY_ALIGN=1 pins the exact DW_banded path (always the default
+    on CPU backends, where the native C batch wins); HINGE_FAST_ALIGN=1
+    forces the Pallas path on any backend."""
     import os as _os
 
-    if _os.environ.get("HINGE_FAST_ALIGN", "0") == "1":
+    use_pallas = _os.environ.get("HINGE_FAST_ALIGN", "0") == "1"
+    if (not use_pallas
+            and _os.environ.get("HINGE_PARITY_ALIGN", "0") != "1"):
+        try:
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
         from hinge_tpu.ops.pallas_band_nw import band_align_batch
 
         rows: List = [None] * len(pair_q)

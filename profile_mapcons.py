@@ -5,9 +5,14 @@ Mirrors pipeline._assemble_body's tail: contigs = [genome fwd, genome rc]
 run_consensus.  Coarse timers + cProfile of the two stages.
 """
 import cProfile
+import os
 import pstats
 import sys
 import time
+
+# host profiler: pin the numpy vote unless --device asks for the TPU path
+if "--device" not in sys.argv:
+    os.environ.setdefault("HINGE_DEVICE_VOTE", "0")
 
 import numpy as np
 
