@@ -70,7 +70,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.map_block_hits.restype = c.c_int64
         for fn in ("minimizers_batch", "index_sort_filter", "emit_records",
                    "myers_align_batch", "falcon_cns_batch", "mirror_traces",
-                   "scatter_copy_u16", "dalign_compact_rows"):
+                   "scatter_copy_u16", "dalign_compact_rows",
+                   "build_contexts"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
         for fn in ("dalign_rows_batch", "dalign_rows_batch_mt",

@@ -398,6 +398,33 @@ int dalign_rows_batch_mt(const uint8_t *abuf, const uint8_t *bbuf,
     return bad.load() ? -1 : 0;
 }
 
+// Fill per-record padded context interiors (Load_Subread semantics — the
+// sentinels are pre-written by the caller): one memcpy per A context, one
+// memcpy or reverse-complement per B context.  The equivalent Python loop
+// at 10^5 records was ~20% of map+consensus wall.
+int64_t build_contexts(const uint8_t *a_cat, const int64_t *a_lo,
+                       const int64_t *a_hi, const int64_t *a_dst,
+                       const uint8_t *b_cat, const int64_t *b_lo,
+                       const int64_t *b_hi, const int64_t *b_dst,
+                       const uint8_t *rc, int64_t n,
+                       uint8_t *abuf, uint8_t *bbuf) {
+    static const uint8_t comp[4] = {3, 2, 1, 0};
+    for (int64_t r = 0; r < n; r++) {
+        memcpy(abuf + a_dst[r], a_cat + a_lo[r],
+               static_cast<size_t>(a_hi[r] - a_lo[r]));
+        const int64_t nb = b_hi[r] - b_lo[r];
+        if (rc[r]) {
+            const uint8_t *s = b_cat + b_lo[r];
+            uint8_t *d = bbuf + b_dst[r];
+            for (int64_t i = 0; i < nb; i++) d[i] = comp[s[nb - 1 - i] & 3];
+        } else {
+            memcpy(bbuf + b_dst[r], b_cat + b_lo[r],
+                   static_cast<size_t>(nb));
+        }
+    }
+    return 0;
+}
+
 // In-place dense compaction of the capacity-strided row buffers: window w's
 // rows move from out_off[w] down to the running dense offset.  Offsets are
 // the cumulative capacities (out_len[w] <= capacity), so dst <= out_off[w]

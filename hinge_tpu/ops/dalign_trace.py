@@ -371,38 +371,12 @@ class _WindowBatch:
         """All window rows as flat (flat_a, flat_b, win_len) in window order —
         no per-window array materialization (the per-window list in align()
         dominated the host profile at 10^5-read consensus scale)."""
-        n = self._n
-        z = np.zeros(0, np.uint8)
-        if n == 0:
+        if self._n == 0:
+            z = np.zeros(0, np.uint8)
             return z, z, np.zeros(0, np.int64)
         abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail = self._flat()
-        raw = _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail,
-                               b_ptr, b_len, b_avail)
-        if raw is None:
-            rows = []
-            for w in range(n):
-                script = iter_np_script(abuf, int(a_ptr[w]), int(a_len[w]),
-                                        bbuf, int(b_ptr[w]), int(b_len[w]))
-                wa = abuf[a_ptr[w] : a_ptr[w] + a_len[w]]
-                wb = bbuf[b_ptr[w] : b_ptr[w] + b_len[w]]
-                rows.append(script_to_rows(wa, wb, script))
-            flat_a = np.concatenate([ra for ra, _ in rows]) if rows else z
-            flat_b = np.concatenate([rb for _, rb in rows]) if rows else z
-            win_len = np.array([len(ra) for ra, _ in rows], np.int64)
-            return flat_a, flat_b, win_len
-        out_a, out_b, out_off, out_len = raw
-        # compact the capacity-strided native buffers into dense flat rows
-        win_len = out_len.astype(np.int64)
-        tot = _native_compact(out_a, out_b, out_off, out_len)
-        if tot is not None:
-            return out_a[:tot], out_b[:tot], win_len
-        # numpy fallback: one gather (out_len <= capacity per window)
-        tot = int(win_len.sum())
-        dst_off = np.zeros(n, np.int64)
-        np.cumsum(win_len[:-1], out=dst_off[1:])
-        within = np.arange(tot, dtype=np.int64) - np.repeat(dst_off, win_len)
-        src = np.repeat(out_off, win_len) + within
-        return out_a[src], out_b[src], win_len
+        return rows_flat_from_windows(abuf, bbuf, a_ptr, b_ptr, a_len, b_len,
+                                      a_avail, b_avail)
 
     def diffs(self) -> np.ndarray:
         """Per-window mismatch-column counts of the exact alignments —
@@ -417,6 +391,42 @@ class _WindowBatch:
             return d
         rows = self.align()
         return np.array([int((ra != rb).sum()) for ra, rb in rows], np.int32)
+
+
+def rows_flat_from_windows(abuf, bbuf, a_ptr, b_ptr, a_len, b_len,
+                           a_avail, b_avail):
+    """Exact rows for prebuilt flat windows -> (flat_a, flat_b, win_len)."""
+    n = len(a_ptr)
+    z = np.zeros(0, np.uint8)
+    if n == 0:
+        return z, z, np.zeros(0, np.int64)
+    raw = _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail,
+                           b_ptr, b_len, b_avail)
+    if raw is None:
+        rows = []
+        for w in range(n):
+            script = iter_np_script(abuf, int(a_ptr[w]), int(a_len[w]),
+                                    bbuf, int(b_ptr[w]), int(b_len[w]))
+            wa = abuf[a_ptr[w] : a_ptr[w] + a_len[w]]
+            wb = bbuf[b_ptr[w] : b_ptr[w] + b_len[w]]
+            rows.append(script_to_rows(wa, wb, script))
+        flat_a = np.concatenate([ra for ra, _ in rows]) if rows else z
+        flat_b = np.concatenate([rb for _, rb in rows]) if rows else z
+        win_len = np.array([len(ra) for ra, _ in rows], np.int64)
+        return flat_a, flat_b, win_len
+    out_a, out_b, out_off, out_len = raw
+    # compact the capacity-strided native buffers into dense flat rows
+    win_len = out_len.astype(np.int64)
+    tot = _native_compact(out_a, out_b, out_off, out_len)
+    if tot is not None:
+        return out_a[:tot], out_b[:tot], win_len
+    # numpy fallback: one gather (out_len <= capacity per window)
+    tot = int(win_len.sum())
+    dst_off = np.zeros(n, np.int64)
+    np.cumsum(win_len[:-1], out=dst_off[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(dst_off, win_len)
+    src = np.repeat(out_off, win_len) + within
+    return out_a[src], out_b[src], win_len
 
 
 def _native_rows(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
@@ -465,8 +475,8 @@ def _native_rows_raw(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
     out_off = np.zeros(n, dtype=np.int64)
     np.cumsum(caps[:-1], out=out_off[1:])
     total = int(caps.sum())
-    out_a = np.empty(max(total, 1), dtype=np.uint8)
-    out_b = np.empty(max(total, 1), dtype=np.uint8)
+    out_a = _SCRATCH.get("rows_a", max(total, 1), np.uint8)
+    out_b = _SCRATCH.get("rows_b", max(total, 1), np.uint8)
     out_len = np.zeros(n, dtype=np.int32)
 
     p8 = c.POINTER(c.c_uint8)
@@ -529,9 +539,172 @@ def _native_diffs(abuf, bbuf, a_ptr, a_len, a_avail, b_ptr, b_len, b_avail):
     return out
 
 
-def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
+class _Scratch:
+    """Grow-only reusable buffers: fresh multi-GB np.empty allocations cost
+    ~12 us/page in minor faults on this host (~15 s per 1.25 GB context
+    build at the 10^5-read scale); reused pages are warm.  Callers receive
+    VIEWS — each named buffer is valid only until the next call that asks
+    for the same name."""
+
+    def __init__(self):
+        self._bufs = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.dtype != np.dtype(dtype) or len(buf) < size:
+            buf = np.empty(int(size * 5 // 4) + 16, dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:size]
+
+
+_SCRATCH = _Scratch()
+
+
+def _native_contexts(a_cat, a_lo, a_hi, a_dst, b_cat, b_lo, b_hi, b_dst,
+                     rcb, abuf, bbuf) -> bool:
+    from hinge_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "build_contexts"):
+        return False
+    import ctypes as c
+
+    p8 = c.POINTER(c.c_uint8)
+    p64 = c.POINTER(c.c_int64)
+    rc8 = np.ascontiguousarray(rcb, np.uint8)
+    args = []
+    for arr, ptr in ((a_cat, p8), (a_lo, p64), (a_hi, p64), (a_dst, p64),
+                     (b_cat, p8), (b_lo, p64), (b_hi, p64), (b_dst, p64)):
+        args.append(np.ascontiguousarray(arr).ctypes.data_as(ptr))
+    lib.build_contexts(*args, rc8.ctypes.data_as(p8), c.c_int64(len(a_lo)),
+                       abuf.ctypes.data_as(p8), bbuf.ctypes.data_as(p8))
+    return True
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """Within-segment indices 0..counts[i]-1, flat int64."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.cumsum(counts) - counts, counts)
+    return out
+
+
+_COMP = np.array([3, 2, 1, 0], dtype=np.uint8)
+
+
+def build_flat_windows(
+    a_cat: np.ndarray, a_off: np.ndarray, a_len_rec: np.ndarray,
+    b_cat: np.ndarray, b_off: np.ndarray, b_len_rec: np.ndarray,
+    a0, a1, b0, b1, rc,
+    trace: np.ndarray, trace_off: np.ndarray, tlen: np.ndarray,
+    tspace: int,
+):
+    """Vectorized _WindowBatch construction for n records at once — the
+    per-record add_overlap loop (make_context copies + window_bounds
+    aranges) was ~30% of map+consensus wall at the 10^5-read scale.
+
+    a_cat/b_cat: uint8 base pools; a_off/b_off per-record offsets of each
+    record's A/B sequence inside them; a_len_rec/b_len_rec the sequence
+    lengths; a0..b1 match coords with B in ORIGINAL orientation; rc the
+    complement flags; trace/trace_off/tlen the flat DALIGNER trace.
+
+    Returns (abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail,
+    owner) — bit-identical to looping _WindowBatch.add_overlap over the
+    records in order (oracle-tested in tests/test_dalign_trace.py)."""
+    i64 = np.int64
+    n = len(a0)
+    a0, a1 = a0.astype(i64), a1.astype(i64)
+    b0, b1 = b0.astype(i64), b1.astype(i64)
+    a_len_rec = a_len_rec.astype(i64)
+    b_len_rec = b_len_rec.astype(i64)
+    rcb = rc.astype(bool)
+    bf0 = np.where(rcb, b_len_rec - b1, b0)
+    bf1 = np.where(rcb, b_len_rec - b0, b1)
+
+    # ---- per-record padded contexts (Load_Subread semantics) ----
+    amin = np.maximum(a0 - BORDER, 0)
+    amax = np.minimum(a1 + BORDER, a_len_rec)
+    bmin = np.maximum(bf0 - BORDER, 0)
+    bmax = np.minimum(bf1 + BORDER, b_len_rec)
+    ca_len = amax - amin + 2
+    cb_len = bmax - bmin + 2
+    ca_off = np.zeros(n + 1, i64)
+    np.cumsum(ca_len, out=ca_off[1:])
+    cb_off = np.zeros(n + 1, i64)
+    np.cumsum(cb_len, out=cb_off[1:])
+    abuf = _SCRATCH.get("ctx_a", int(ca_off[-1]), np.uint8)
+    bbuf = _SCRATCH.get("ctx_b", int(cb_off[-1]), np.uint8)
+    abuf[ca_off[:-1]] = 4
+    abuf[ca_off[1:] - 1] = 4
+    bbuf[cb_off[:-1]] = 4
+    bbuf[cb_off[1:] - 1] = 4
+    # context interiors: per-record memcpy/revcomp into the preallocated
+    # buffers — native when available (the Python slice loop was ~20% of
+    # map+consensus wall at 10^5 records; index-array gathers even slower)
+    ao = (a_off.astype(i64) + amin)
+    a_hi_src = (a_off.astype(i64) + amax)
+    ad = ca_off[:-1] + 1
+    b_off = b_off.astype(i64)
+    bo_lo = np.where(rcb, b_off + b_len_rec - bmax, b_off + bmin)
+    bo_hi = np.where(rcb, b_off + b_len_rec - bmin, b_off + bmax)
+    bd = cb_off[:-1] + 1
+    if not _native_contexts(a_cat, ao, a_hi_src, ad,
+                            b_cat, bo_lo, bo_hi, bd, rcb, abuf, bbuf):
+        aol, ahl, adl = ao.tolist(), a_hi_src.tolist(), ad.tolist()
+        bll, bhl, bdl2 = bo_lo.tolist(), bo_hi.tolist(), bd.tolist()
+        ibl = (cb_len - 2).tolist()
+        rcl = rcb.tolist()
+        for r in range(n):
+            o = adl[r]
+            abuf[o : o + (ahl[r] - aol[r])] = a_cat[aol[r] : ahl[r]]
+            o = bdl2[r]
+            seg = b_cat[bll[r] : bhl[r]]
+            if rcl[r]:
+                bbuf[o : o + ibl[r]] = _COMP[seg][::-1]
+            else:
+                bbuf[o : o + ibl[r]] = seg
+
+    # ---- window lattice (computeTracePTS' loop) ----
+    s0 = (a0 // tspace + 1) * tspace
+    nw = np.maximum(0, -(-(a1 - s0) // tspace)) + 1
+    rec_w = np.repeat(np.arange(n, dtype=i64), nw)
+    w = _seg_arange(nw)
+    a_lo = np.where(w == 0, a0[rec_w], s0[rec_w] + (w - 1) * tspace)
+    last = w == nw[rec_w] - 1
+    a_hi = np.where(last, a1[rec_w], s0[rec_w] + w * tspace)
+    # B displacement per non-final window from the trace's odd stream
+    disp = np.zeros(len(w), i64)
+    hd = ~last
+    disp[hd] = trace[trace_off[rec_w[hd]].astype(i64) + 2 * w[hd] + 1]
+    cs = np.cumsum(disp)
+    first_w = np.cumsum(nw) - nw
+    excl = cs - disp - np.repeat((cs - disp)[first_w], nw)
+    b_lo = bf0[rec_w] + excl
+    b_hi = np.where(hd, b_lo + disp, bf1[rec_w])
+
+    pa = (a0 - amin + 1)[rec_w] + (a_lo - a0[rec_w])
+    pb = (bf0 - bmin + 1)[rec_w] + excl
+    return (abuf, bbuf,
+            ca_off[:-1][rec_w] + pa, cb_off[:-1][rec_w] + pb,
+            (a_hi - a_lo).astype(np.int32), (b_hi - b_lo).astype(np.int32),
+            pa.astype(np.int32), pb.astype(np.int32), rec_w)
+
+
+def _pool_from_targets(targets) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cat, off, len) pool over a short list of target sequences."""
+    lens = np.array([len(t) for t in targets], np.int64)
+    off = np.zeros(len(targets) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    cat = (np.concatenate([np.asarray(t, np.uint8) for t in targets])
+           if targets else np.zeros(0, np.uint8))
+    return cat, off[:-1], lens
+
+
+def fill_window_diffs(ov, targets, rs) -> None:
     """Populate an OverlapStore's per-window trace diffs + record diffs from
-    the EXACT window alignments, in place.
+    the EXACT window alignments, in place.  A-ids index `targets` (a short
+    list of sequences); B-ids index the ReadStore's flat base pool.
 
     DALIGNER consumers size their wave arrays from the recorded per-window
     diff counts (computeTracePTS, LAInterface.cpp:3444-3456: dmax = max
@@ -541,25 +714,25 @@ def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
     fills the diffs the same way DALIGNER would: the edit count of the
     optimal window alignment (>= the wave's D by construction).
     """
-    batch = _WindowBatch()
-    for r in range(ov.n):
-        a_seq = get_a_bases(int(ov.a_id[r]))
-        b_seq = get_b_bases(int(ov.b_id[r]))
-        blen = int(ov.b_len[r])
-        if int(ov.rc[r]):
-            from hinge_tpu.data.overlaps import revcomp_codes
-
-            b_frame = revcomp_codes(b_seq)
-            b0, b1 = blen - int(ov.b_end[r]), blen - int(ov.b_start[r])
-        else:
-            b_frame = b_seq
-            b0, b1 = int(ov.b_start[r]), int(ov.b_end[r])
-        batch.add_overlap(r, np.asarray(a_seq, np.uint8),
-                          np.asarray(b_frame, np.uint8),
-                          int(ov.a_start[r]), int(ov.a_end[r]), b0, b1,
-                          ov.trace_pairs(r), int(ov.tspace))
-    d = batch.diffs().astype(np.int64)  # no row materialization
-    owner = np.asarray(batch.owner, dtype=np.int64)
+    a_cat, a_off, a_lens = _pool_from_targets(targets)
+    (abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail,
+     owner) = build_flat_windows(
+        a_cat, a_off[ov.a_id], a_lens[ov.a_id],
+        rs.bases, rs.bases_off[ov.b_id], rs.length[ov.b_id].astype(np.int64),
+        ov.a_start, ov.a_end, ov.b_start, ov.b_end, ov.rc,
+        ov.trace, ov.trace_off, ov.tlen, int(ov.tspace))
+    d = _native_diffs(abuf, bbuf, a_ptr, a_len, a_avail,
+                      b_ptr, b_len, b_avail)
+    if d is None:
+        rows = rows_flat_from_windows(abuf, bbuf, a_ptr, b_ptr,
+                                      a_len, b_len, a_avail, b_avail)
+        fa, fb, wl = rows
+        off = np.zeros(len(wl) + 1, np.int64)
+        np.cumsum(wl, out=off[1:])
+        neq = np.cumsum(fa != fb)
+        pz = np.concatenate([[0], neq])
+        d = (pz[off[1:]] - pz[off[:-1]]).astype(np.int64)
+    d = np.asarray(d, np.int64)
     if len(owner) == 0:
         ov.diffs[:] = 0
         return
@@ -571,6 +744,36 @@ def fill_window_diffs(ov, get_a_bases, get_b_bases) -> None:
     ov.trace[ov.trace_off[owner] + 2 * win_local] = np.minimum(d, 65535)
     ov.diffs[:] = np.bincount(owner, weights=d, minlength=ov.n).astype(
         ov.diffs.dtype)
+
+
+def align_rows_flat_store(
+    ov, rows_idx: np.ndarray, tmpl: np.ndarray, rs,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact flat alignment rows for OverlapStore records rows_idx, A side
+    fixed to one template (consensus's contig-vs-reads case): returns
+    (flat_a, flat_b, item_len) like align_overlap_rows_exact_flat but with
+    the whole window batch built vectorized from the store columns."""
+    rows_idx = np.asarray(rows_idx, np.int64)
+    n = len(rows_idx)
+    z = np.zeros(0, np.uint8)
+    if n == 0:
+        return z, z, np.zeros(0, np.int64)
+    tmpl = np.asarray(tmpl, np.uint8)
+    (abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail,
+     owner) = build_flat_windows(
+        tmpl, np.zeros(n, np.int64), np.full(n, len(tmpl), np.int64),
+        rs.bases, rs.bases_off[ov.b_id[rows_idx]],
+        rs.length[ov.b_id[rows_idx]].astype(np.int64),
+        ov.a_start[rows_idx], ov.a_end[rows_idx],
+        ov.b_start[rows_idx], ov.b_end[rows_idx], ov.rc[rows_idx],
+        ov.trace, ov.trace_off[rows_idx], ov.tlen[rows_idx],
+        int(ov.tspace))
+    flat_a, flat_b, win_len = rows_flat_from_windows(
+        abuf, bbuf, a_ptr, b_ptr, a_len, b_len, a_avail, b_avail)
+    item_len = np.zeros(n, np.int64)
+    if len(owner):
+        np.add.at(item_len, owner, win_len)
+    return flat_a, flat_b, item_len
 
 
 def align_overlap_rows_exact_flat(

@@ -273,7 +273,7 @@ def map_reads_to_targets(
         # traces with diffs=0 crash the reference consensus binary
         from hinge_tpu.ops.dalign_trace import fill_window_diffs
 
-        fill_window_diffs(out, lambda i: targets[i], rs.get_bases)
+        fill_window_diffs(out, targets, rs)
     return out
 
 

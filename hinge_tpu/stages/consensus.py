@@ -232,22 +232,21 @@ def run_consensus(
             results.append((f"Consensus{ci}", contigs[ci][1]))
             continue
 
-        # all alignment rows for this contig in one flat pooled buffer
-        items = []
-        traced = []
+        # all alignment rows for this contig in one flat pooled buffer,
+        # batch-built straight from the store columns (vectorized contexts
+        # + window lattice; the per-record add_overlap loop was ~30% of
+        # consensus wall at the 10^5-read scale)
+        sel_arr = np.asarray(sel, np.int64)
+        traced = sel_arr[aln.tlen[sel_arr] > 0]
         fb_a, fb_b, fb_pos0 = [], [], []
-        for r in sel:
-            it = _row_item(aln, r, tmpl, rs)
-            if it is not None:
-                items.append(it)
-                traced.append(r)
-            else:
-                ra, rb = _contig_read_rows(aln, r, tmpl, rs, band)
-                fb_a.append(np.asarray(ra, np.uint8))
-                fb_b.append(np.asarray(rb, np.uint8))
-                fb_pos0.append(int(aln.a_start[r]))
+        for r in sel_arr[aln.tlen[sel_arr] <= 0]:
+            ra, rb = _contig_read_rows(aln, int(r), tmpl, rs, band)
+            fb_a.append(np.asarray(ra, np.uint8))
+            fb_b.append(np.asarray(rb, np.uint8))
+            fb_pos0.append(int(aln.a_start[r]))
         # exact recoverAlignment+getAlignmentTags rows (ops/dalign_trace.py)
-        flat_a, flat_b, seg_len = DT.align_overlap_rows_exact_flat(items)
+        flat_a, flat_b, seg_len = DT.align_rows_flat_store(
+            aln, traced, tmpl, rs)
         pos0 = aln.a_start[traced].astype(np.int64)
         if fb_a:
             flat_a = np.concatenate([flat_a] + fb_a)
@@ -292,25 +291,6 @@ def run_consensus(
             for name, seq in results:
                 f.write(f">{name}\n{seq}\n")
     return results
-
-
-def _row_item(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore):
-    """Bulk-batch item for record r, or None when there are no trace points
-    (falls back to the scalar full-region path)."""
-    if aln.tlen[r] <= 0:
-        return None
-    read = rs.get_bases(int(aln.b_id[r]))
-    rc = int(aln.rc[r])
-    blen = int(aln.b_len[r])
-    if rc:
-        b_frame = revcomp_codes(read)
-        bb = blen - int(aln.b_end[r])
-        be = blen - int(aln.b_start[r])
-    else:
-        b_frame = read
-        bb, be = int(aln.b_start[r]), int(aln.b_end[r])
-    return (tmpl, b_frame, int(aln.a_start[r]), int(aln.a_end[r]), bb, be,
-            aln.trace_pairs(r), aln.tspace)
 
 
 def _contig_read_rows(aln: OverlapStore, r: int, tmpl: np.ndarray, rs: ReadStore, band: int):

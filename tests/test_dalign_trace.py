@@ -175,3 +175,44 @@ def test_native_matches_python():
             pbs.append(pb)
         np.testing.assert_array_equal(ra, np.concatenate(pas))
         np.testing.assert_array_equal(rb, np.concatenate(pbs))
+
+
+def test_build_flat_windows_matches_add_overlap_loop():
+    """Vectorized window-batch construction == per-record add_overlap loop,
+    bit-for-bit (contexts, pointers, lengths, avail, owner)."""
+    from hinge_tpu.data.overlaps import revcomp_codes
+    from hinge_tpu.data.simulator import SimParams, simulate
+
+    p = SimParams(genome_len=60_000, coverage=12.0, seed=3)
+    genome, reads, rs, ov = simulate(p)
+    idx = np.nonzero(ov.tlen > 0)[0][:1500]
+
+    batch = DT._WindowBatch()
+    for r in idx:
+        r = int(r)
+        a_seq = rs.get_bases(int(ov.a_id[r]))
+        b_seq = rs.get_bases(int(ov.b_id[r]))
+        blen = int(ov.b_len[r])
+        if int(ov.rc[r]):
+            bf = revcomp_codes(b_seq)
+            b0p, b1p = blen - int(ov.b_end[r]), blen - int(ov.b_start[r])
+        else:
+            bf = b_seq
+            b0p, b1p = int(ov.b_start[r]), int(ov.b_end[r])
+        batch.add_overlap(r, np.asarray(a_seq, np.uint8),
+                          np.asarray(bf, np.uint8),
+                          int(ov.a_start[r]), int(ov.a_end[r]), b0p, b1p,
+                          ov.trace_pairs(r), int(ov.tspace))
+    ref = batch._flat()
+    got = DT.build_flat_windows(
+        rs.bases, rs.bases_off[ov.a_id[idx]], rs.length[ov.a_id[idx]],
+        rs.bases, rs.bases_off[ov.b_id[idx]], rs.length[ov.b_id[idx]],
+        ov.a_start[idx], ov.a_end[idx], ov.b_start[idx], ov.b_end[idx],
+        ov.rc[idx], ov.trace, ov.trace_off[idx], ov.tlen[idx],
+        int(ov.tspace))
+    names = ("abuf", "bbuf", "a_ptr", "b_ptr", "a_len", "b_len",
+             "a_avail", "b_avail")
+    for nm, a, b in zip(names, ref, got[:8]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)
+    np.testing.assert_array_equal(np.asarray(batch.owner),
+                                  idx[got[8]].astype(np.int64))
