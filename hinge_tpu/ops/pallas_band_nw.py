@@ -320,7 +320,7 @@ def band_align_batch(
     qs: Sequence[np.ndarray],
     ts: Sequence[np.ndarray],
     bw: int = 256,
-    max_batch: int = 512,
+    max_batch: int = 2048,
     interpret: bool | None = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Optimal banded global alignment rows (gap code 4) for a batch of

@@ -212,6 +212,80 @@ def run_sharded_filter(
     return cov, masks, ann, reads_chunk
 
 
+def run_sharded_profiles(
+    a_rel: np.ndarray, a_start: np.ndarray, a_end: np.ndarray,
+    n_reads: int, mesh: Mesh,
+    *, nb: int, reso: int, cut_off: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The filter stage's raw device profiles — (cov, cov_cut, ne, ne_cut)
+    per read — computed over the mesh (record-scatter + psum/pmax).  The
+    scatter-adds are integer and associative, so results are bit-identical
+    to the single-device `stages.filter._device_profiles`; used when
+    HINGE_SHARDED=1 routes stage internals through the mesh."""
+
+    def step(a_rel, a_s, a_e, _):
+        a_rel = a_rel.reshape(-1)
+        a_s = a_s.reshape(-1)
+        a_e = a_e.reshape(-1)
+
+        def grid(cutoff):
+            sb = C.event_bins(a_s + cutoff, reso, nb)
+            eb = C.event_bins(a_e - cutoff, reso, nb)
+            g = jnp.zeros(((reads_chunk + 1) * (nb + 1),), dtype=jnp.int32)
+            g = g.at[a_rel * (nb + 1) + sb].add(1, mode="drop")
+            g = g.at[a_rel * (nb + 1) + eb].add(-1, mode="drop")
+            return jax.lax.psum(
+                g.reshape(reads_chunk + 1, nb + 1)[:reads_chunk, :nb],
+                "recs")
+
+        cov = jnp.cumsum(grid(0), axis=1, dtype=jnp.int32)
+        cov_cut = jnp.cumsum(grid(cut_off), axis=1, dtype=jnp.int32)
+        me = jnp.zeros((reads_chunk + 1,), dtype=jnp.int32).at[a_rel].max(
+            a_e, mode="drop")[:reads_chunk]
+        mstart = jnp.full((reads_chunk + 1,), jnp.iinfo(jnp.int32).min,
+                          dtype=jnp.int32).at[a_rel].max(
+            a_s, mode="drop")[:reads_chunk]
+        cnt = jnp.zeros((reads_chunk + 1,), dtype=jnp.int32).at[a_rel].add(
+            1, mode="drop")[:reads_chunk]
+        me = jax.lax.pmax(me, "recs")
+        mstart = jax.lax.pmax(mstart, "recs")
+        cnt = jax.lax.psum(cnt, "recs")
+        ne = C.n_entries_from_max_event(me, cnt, reso)
+        ne_cut = C.n_entries_from_max_event(
+            jnp.maximum(me - cut_off, mstart + cut_off), cnt, reso)
+        return cov, cov_cut, ne, ne_cut
+
+    a_rel3, a_s3, a_e3, reads_chunk = shard_records(
+        a_rel, a_start, a_end, n_reads, mesh)
+    R = mesh.shape["reads"]
+    rl = np.zeros((R, reads_chunk), np.int32)
+    fn = jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("reads", "recs"),) * 3 + (P("reads"),),
+        out_specs=(P("reads"), P("reads"), P("reads"), P("reads")),
+        check_vma=False,
+    ))
+    sh3 = NamedSharding(mesh, P("reads", "recs"))
+    sh1 = NamedSharding(mesh, P("reads"))
+    cov, cov_cut, ne, ne_cut = fn(
+        jax.device_put(a_rel3, sh3), jax.device_put(a_s3, sh3),
+        jax.device_put(a_e3, sh3), jax.device_put(rl, sh1))
+    return (np.asarray(cov)[:n_reads], np.asarray(cov_cut)[:n_reads],
+            np.asarray(ne)[:n_reads], np.asarray(ne_cut)[:n_reads])
+
+
+def stage_mesh():
+    """The mesh stage internals use when HINGE_SHARDED=1 — None otherwise
+    or when only one device is present."""
+    import os
+
+    if os.environ.get("HINGE_SHARDED", "0") != "1":
+        return None
+    if len(jax.devices()) < 2:
+        return None
+    return make_mesh()
+
+
 # ---------------------------------------------------------------------------
 # Sharded classify / trim lattice kernels (maximal + layout device portion)
 # ---------------------------------------------------------------------------

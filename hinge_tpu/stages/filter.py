@@ -85,10 +85,22 @@ CHUNK_READS = 8192
 
 def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
     """Coverage grids for a contiguous read range, chunked over reads so
-    device memory stays bounded. Returns numpy arrays."""
+    device memory stays bounded. Returns numpy arrays.
+
+    HINGE_SHARDED=1 routes the scatter/cumsum chain over the device mesh
+    (psum/pmax collectives) — bit-identical outputs, so the stage files
+    byte-match the single-device run (tests/test_sharded_stage_parity.py)."""
     a_rel_all = (ov.a_id[sel] - r_begin).astype(np.int32)
     a_s_all = ov.a_start[sel].astype(np.int32)
     a_e_all = ov.a_end[sel].astype(np.int32)
+
+    from hinge_tpu.parallel.sharding import run_sharded_profiles, stage_mesh
+
+    mesh = stage_mesh()
+    if mesh is not None:
+        return run_sharded_profiles(
+            a_rel_all, a_s_all, a_e_all, n_chunk, mesh,
+            nb=nb, reso=reso, cut_off=cut_off)
 
     cov = np.zeros((n_chunk, nb), dtype=np.int32)
     cov_cut = np.zeros((n_chunk, nb), dtype=np.int32)

@@ -38,6 +38,18 @@ FORWARD_TYPES = (CL.FORWARD, CL.FORWARD_INTERNAL)
 BACKWARD_TYPES = (CL.BACKWARD, CL.BACKWARD_INTERNAL)
 
 
+def _top_k(sub: OverlapStore, k: int) -> np.ndarray:
+    """Per-(A,B) top-k; HINGE_SHARDED=1 partitions at --mlas boundaries
+    over the mesh (identical emission order, byte-equal stage files)."""
+    from hinge_tpu.parallel.sharding import sharded_top_k_per_pair, stage_mesh
+
+    mesh = stage_mesh()
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        return sharded_top_k_per_pair(sub, k, n_dev)
+    return top_k_per_pair(sub, k=k)
+
+
 @dataclasses.dataclass
 class Matches:
     """Per-part processed candidates + per-read forward/backward bins."""
@@ -97,7 +109,7 @@ def get_alignment(
         )
         sub = part.take(np.nonzero(keep)[0])
         k = 2 if lay.use_two_matches else 1
-        cand = top_k_per_pair(sub, k=k)
+        cand = _top_k(sub, k)
         pa = process_alignments(
             sub, cand, eff_start, eff_end, f.aln_threshold, f.theta, f.theta2, trim=has_db
         )
@@ -268,15 +280,28 @@ def run_layout(
         qa = np.array(queries, dtype=np.int64)
         ov_rows = pa.rows[qa[:, 2]]
         pos_a = np.array([hinges_vec[int(i)][int(k)][0] for i, k in zip(qa[:, 0], qa[:, 1])], dtype=np.int32)
-        pos_b = np.asarray(
-            CL.matching_position(
-                jnp.asarray(ov_rows.astype(np.int32)), jnp.asarray(pos_a),
-                jnp.asarray(sub.a_start), jnp.asarray(sub.a_end),
-                jnp.asarray(sub.b_start), jnp.asarray(sub.b_end), jnp.asarray(sub.rc),
-                jnp.asarray(tw.npairs), jnp.asarray(tw.pair_off), jnp.asarray(tw.cum),
-                tspace=sub.tspace,
-            )
+        from hinge_tpu.parallel.sharding import (
+            run_sharded_matching_position, stage_mesh,
         )
+
+        mesh = stage_mesh()
+        if mesh is not None:
+            # HINGE_SHARDED=1: queries route to the mesh shard owning each
+            # overlap row — bit-identical to the single-device kernel
+            pos_b = run_sharded_matching_position(
+                ov_rows.astype(np.int32), pos_a,
+                sub.a_start, sub.a_end, sub.b_start, sub.b_end, sub.rc,
+                tw, mesh, tspace=sub.tspace)
+        else:
+            pos_b = np.asarray(
+                CL.matching_position(
+                    jnp.asarray(ov_rows.astype(np.int32)), jnp.asarray(pos_a),
+                    jnp.asarray(sub.a_start), jnp.asarray(sub.a_end),
+                    jnp.asarray(sub.b_start), jnp.asarray(sub.b_end), jnp.asarray(sub.rc),
+                    jnp.asarray(tw.npairs), jnp.asarray(tw.pair_off), jnp.asarray(tw.cum),
+                    tspace=sub.tspace,
+                )
+            )
         slack = lay.matching_hinge_slack
         for qi in range(len(queries)):
             i, k, q, dr, _ = queries[qi]

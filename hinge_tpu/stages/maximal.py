@@ -24,6 +24,19 @@ from hinge_tpu.ops import classify as CL
 from hinge_tpu.ops.pairs import process_alignments, top_k_per_pair
 
 
+def _top_k(sub: OverlapStore, k: int) -> np.ndarray:
+    """Per-(A,B) top-k; HINGE_SHARDED=1 partitions at --mlas (A-id)
+    boundaries over the mesh — identical emission order, so stage files
+    byte-match (tests/test_sharded_stage_parity.py)."""
+    from hinge_tpu.parallel.sharding import sharded_top_k_per_pair, stage_mesh
+
+    mesh = stage_mesh()
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        return sharded_top_k_per_pair(sub, k, n_dev)
+    return top_k_per_pair(sub, k=k)
+
+
 @dataclasses.dataclass
 class MaximalResult:
     active: np.ndarray  # bool [n_reads] after containment removal
@@ -65,7 +78,7 @@ def run_maximal(
         sub = part.take(np.nonzero(nonself)[0])
 
         k = 2 if cfg.layout.use_two_matches else 1
-        cand = top_k_per_pair(sub, k=k)
+        cand = _top_k(sub, k)
         pa = process_alignments(
             sub, cand, eff_start, eff_end,
             f.aln_threshold, f.theta, f.theta2, trim=has_db,
