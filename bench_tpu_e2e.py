@@ -1,0 +1,79 @@
+"""End-to-end assemble() wall on the REAL TPU backend (VERDICT r2 #2).
+
+Runs the one-shot pipeline on a synthetic workload with the device stages
+on the v5e (axon tunnel), compile cache primed into .jax_cache, and
+appends the result (stage breakdown + device-residency notes) to
+docs/bench_recorded.json, which bench.py merges into its primary JSON line
+under "recorded".
+
+  python bench_tpu_e2e.py [genome_len] [coverage]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+GLEN = int(sys.argv[1]) if len(sys.argv) > 1 else 4_600_000
+COV = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+
+from hinge_tpu.data.simulator import SimParams, simulate  # noqa: E402
+from hinge_tpu.io.fasta import write_fasta  # noqa: E402
+from hinge_tpu.pipeline import assemble  # noqa: E402
+from hinge_tpu.utils.log import timings  # noqa: E402
+
+backend = jax.default_backend()
+print(f"backend={backend} device={jax.devices()[0]}", flush=True)
+
+with tempfile.TemporaryDirectory() as tmp:
+    p = SimParams(genome_len=GLEN, coverage=COV, seed=0)
+    genome, reads, rs, ov = simulate(p)
+    fasta = os.path.join(tmp, "reads.fasta")
+    write_fasta(fasta, ((rs.names[i], rs.get_seq(i)) for i in range(rs.n_reads)))
+    n_reads = rs.n_reads
+    del reads, rs, ov
+    t0 = time.perf_counter()
+    res = assemble(fasta=fasta, workdir=tmp, log=lambda *a: print(*a, flush=True))
+    wall = time.perf_counter() - t0
+    longest = max((len(s) for _, s in res["contigs"]), default=0)
+
+entry = {
+    "date": "2026-08-20",
+    "kind": "e2e_assemble",
+    "backend": backend,
+    "workload": {"genome_mb": round(GLEN / 1e6, 2), "coverage_x": COV,
+                 "n_reads": n_reads},
+    "wall_s": round(wall, 1),
+    "stages": {k: round(v, 1) for k, v in timings().items()},
+    "n_contigs": len(res["contigs"]),
+    "longest_contig_frac": round(longest / GLEN, 3),
+    "device_residency": {
+        "filter": "device (coverage/mask/annotation kernels + hinge_call)",
+        "maximal/layout": "device trim/classify/matching-position; host sweeps",
+        "clip/draft-path": "host graph ops",
+        "draft": ("device Pallas band-NW ladders (TPU default)"
+                  if backend == "tpu" else "host C DW_banded"),
+        "map": "host C minimizer join/chain",
+        "consensus": ("device scatter-add vote (TPU default)"
+                      if backend == "tpu" else "host numpy vote"),
+    },
+    "notes": "single v5e behind the axon tunnel; remote compiles cached in "
+             ".jax_cache; host is 2 vCPU with ~0.9 background load",
+}
+
+path = os.path.join(_HERE, "docs", "bench_recorded.json")
+rec = []
+if os.path.exists(path):
+    with open(path) as f:
+        rec = json.load(f)
+rec.append(entry)
+with open(path, "w") as f:
+    json.dump(rec, f, indent=1)
+print("RECORDED " + json.dumps(entry), flush=True)

@@ -42,29 +42,55 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _pack2(codes: np.ndarray) -> np.ndarray:
+    """(B, L) base codes 0..3 -> (B, L//4) uint8, little-endian 2-bit."""
+    a = codes.reshape(codes.shape[0], -1, 4).astype(np.uint16)
+    return (a[..., 0] | (a[..., 1] << 2) | (a[..., 2] << 4)
+            | (a[..., 3] << 6)).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Pallas fill kernel
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "rc", "mrows", "interpret"))
-def _band_fill(q, tpad, m, n, *, bw: int, rc: int, mrows: int, interpret: bool):
+def _unpack2(packed, L):
+    """(B, L//4) uint8 2-bit-packed codes -> (B, L) int32 on device."""
+    b = packed.astype(jnp.int32)
+    parts = jnp.stack(
+        [(b >> 0) & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=-1)
+    return parts.reshape(packed.shape[0], L)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "rc", "mrows", "lq", "lt",
+                                             "interpret"))
+def _band_fill(qp, tp, m, n, *, bw: int, rc: int, mrows: int, lq: int,
+               lt: int, interpret: bool):
     """moves (B, Mpad, bw) int8 via the Pallas kernel.
 
-    q: (B, Lq) int32; tpad: (B, Lt + bw) int32 (HB sentinels on the left);
-    m, n: (B,) int32.  B must be a multiple of the window-block size 8.
+    qp: (B, lq//4) uint8 2-bit-packed query bases; tp: (B, (lt-hb)//4)
+    packed target bases; m, n: (B,) int32.  The pad values (250 past each
+    query's m, 251 left / 252 right of each target's [hb, hb+n) span) are
+    reconstructed on DEVICE — the tunnel ships 2-bit bases, 4x less than
+    byte codes (host->device transfer dominated the warm wall here).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     WB = 32  # windows per program: (32, 256) tiles keep the VPU busy
-    B, Lq = q.shape
-    # inputs ship as uint8 (4x less host->device traffic); the kernel wants
-    # int32 tiles, so cast on device
-    q = q.astype(jnp.int32)
-    tpad = tpad.astype(jnp.int32)
-    Mpad = _round_up(mrows, rc)
+    B = qp.shape[0]
+    Lq = lq
     hb = bw // 2
+    iota_q = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    q = jnp.where(iota_q < m[:, None], _unpack2(qp, Lq), 250)
+    Lt = lt
+    t_codes = _unpack2(tp, Lt - hb)
+    iota_t = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    t_shift = jnp.pad(t_codes, ((0, 0), (hb, 0)))
+    tpad = jnp.where(
+        iota_t < hb, 251,
+        jnp.where(iota_t < hb + n[:, None], t_shift, 252))
+    Mpad = _round_up(mrows, rc)
 
     def kernel(q_ref, t_ref, mn_ref, moves_ref, crow_ref):
         r = pl.program_id(1)
@@ -126,7 +152,6 @@ def _band_fill(q, tpad, m, n, *, bw: int, rc: int, mrows: int, interpret: bool):
             crow_ref[:] = jnp.where(i <= m_w, c, cprev)
 
     grid = (B // WB, Mpad // rc)
-    Lt = tpad.shape[1]
     mn = jnp.stack([m, n], axis=1)
     moves = pl.pallas_call(
         kernel,
@@ -182,7 +207,7 @@ def _row_traceback(moves, m, n, *, bw: int, mrows: int):
         mv0 = (top & 3).astype(jnp.int8)
         cnt = (k_e - kstop).astype(jnp.int32)
         j = jnp.where(active, j - cnt - (mv0 == 0), j)
-        return j, (jnp.where(active, cnt, 0).astype(jnp.int16),
+        return j, (jnp.where(active, cnt, 0).astype(jnp.uint8),
                    jnp.where(active, mv0, 0).astype(jnp.int8))
 
     rs = jnp.arange(mrows - 1, -1, -1, dtype=jnp.int32)
@@ -232,7 +257,7 @@ def _row_traceback_pallas(moves, m, n, *, bw: int, mrows: int,
             cnt = k_e - kstop
             j_ref[:] = jnp.where(active, j - cnt - (mv0 == 0), j)
             cnt_ref[:, ri : ri + 1] = jnp.where(active, cnt, 0).astype(
-                jnp.int16)
+                jnp.uint8)
             mv0_ref[:, ri : ri + 1] = jnp.where(active, mv0, 0).astype(
                 jnp.int8)
 
@@ -259,7 +284,7 @@ def _row_traceback_pallas(moves, m, n, *, bw: int, mrows: int,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Mpad), jnp.int16),
+            jax.ShapeDtypeStruct((B, Mpad), jnp.uint8),
             jax.ShapeDtypeStruct((B, Mpad), jnp.int8),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
@@ -404,15 +429,17 @@ def _band_block_dispatch(qs, ts, bw, interpret):
     # aligned-load slack: the kernel reads [ta, ta+bw+128) with ta <= Mrows
     Lq = Mrows + 128
     Lt = _round_up(max(int(n.max()), Mrows) + bw + 128, 256)
-    q = np.full((Bp, Lq), 250, np.uint8)
-    tpad = np.full((Bp, Lt), 251, np.uint8)
+    # ship 2-bit-packed bases; the device reconstructs the 250/251/252 pads
+    # (host->device bytes were the warm-path bottleneck on the tunnel rig)
+    qc = np.zeros((Bp, Lq), np.uint8)
+    tc = np.zeros((Bp, Lt - hb), np.uint8)
     for i in range(B):
-        q[i, : m[i]] = qs[i]
-        tpad[i, hb : hb + n[i]] = ts[i]
-        tpad[i, hb + n[i] :] = 252
+        qc[i, : m[i]] = qs[i]
+        tc[i, : n[i]] = ts[i]
     moves = _band_fill(
-        jnp.asarray(q), jnp.asarray(tpad), jnp.asarray(m), jnp.asarray(n),
-        bw=bw, rc=rc, mrows=Mrows, interpret=interpret,
+        jnp.asarray(_pack2(qc)), jnp.asarray(_pack2(tc)),
+        jnp.asarray(m), jnp.asarray(n),
+        bw=bw, rc=rc, mrows=Mrows, lq=Lq, lt=Lt, interpret=interpret,
     )
     cnts, mv0s, j_rem = _row_traceback_pallas(
         moves, jnp.asarray(m), jnp.asarray(n), bw=bw,
