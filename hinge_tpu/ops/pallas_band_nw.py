@@ -62,34 +62,44 @@ def _unpack2(packed, L):
     return parts.reshape(packed.shape[0], L)
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "rc", "mrows", "lq", "lt",
-                                             "interpret"))
-def _band_fill(qp, tp, m, n, *, bw: int, rc: int, mrows: int, lq: int,
-               lt: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("bw", "lq", "lt"))
+def _band_expand(qp, tp, m, n, *, bw: int, lq: int, lt: int):
+    """Device-side pad reconstruction for 2-bit-packed uploads.
+
+    qp: (B, lq//4) uint8 packed query bases; tp: (B, (lt-hb)//4) packed
+    target bases.  Returns (q, tpad) uint8 with the host layout: 250 past
+    each query's m, 251 left / 252 right of each target's [hb, hb+n) span.
+    The tunnel ships 2-bit bases — 4x less than byte codes (host->device
+    transfer dominated the warm wall).  A separate small jit so the big
+    Mosaic fill module keeps its cached signature."""
+    hb = bw // 2
+    iota_q = jnp.arange(lq, dtype=jnp.int32)[None, :]
+    q = jnp.where(iota_q < m[:, None], _unpack2(qp, lq), 250)
+    t_codes = _unpack2(tp, lt - hb)
+    iota_t = jnp.arange(lt, dtype=jnp.int32)[None, :]
+    t_shift = jnp.pad(t_codes, ((0, 0), (hb, 0)))
+    tpad = jnp.where(
+        iota_t < hb, 251,
+        jnp.where(iota_t < hb + n[:, None], t_shift, 252))
+    return q.astype(jnp.uint8), tpad.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "rc", "mrows", "interpret"))
+def _band_fill(q, tpad, m, n, *, bw: int, rc: int, mrows: int, interpret: bool):
     """moves (B, Mpad, bw) int8 via the Pallas kernel.
 
-    qp: (B, lq//4) uint8 2-bit-packed query bases; tp: (B, (lt-hb)//4)
-    packed target bases; m, n: (B,) int32.  The pad values (250 past each
-    query's m, 251 left / 252 right of each target's [hb, hb+n) span) are
-    reconstructed on DEVICE — the tunnel ships 2-bit bases, 4x less than
-    byte codes (host->device transfer dominated the warm wall here).
+    q: (B, Lq) uint8 (250-padded); tpad: (B, Lt) uint8 (251/252 pads, hb
+    sentinel offset on the left); m, n: (B,) int32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     WB = 32  # windows per program: (32, 256) tiles keep the VPU busy
-    B = qp.shape[0]
-    Lq = lq
+    B, Lq = q.shape
+    Lt = tpad.shape[1]
+    q = q.astype(jnp.int32)
+    tpad = tpad.astype(jnp.int32)
     hb = bw // 2
-    iota_q = jnp.arange(Lq, dtype=jnp.int32)[None, :]
-    q = jnp.where(iota_q < m[:, None], _unpack2(qp, Lq), 250)
-    Lt = lt
-    t_codes = _unpack2(tp, Lt - hb)
-    iota_t = jnp.arange(Lt, dtype=jnp.int32)[None, :]
-    t_shift = jnp.pad(t_codes, ((0, 0), (hb, 0)))
-    tpad = jnp.where(
-        iota_t < hb, 251,
-        jnp.where(iota_t < hb + n[:, None], t_shift, 252))
     Mpad = _round_up(mrows, rc)
 
     def kernel(q_ref, t_ref, mn_ref, moves_ref, crow_ref):
@@ -436,11 +446,13 @@ def _band_block_dispatch(qs, ts, bw, interpret):
     for i in range(B):
         qc[i, : m[i]] = qs[i]
         tc[i, : n[i]] = ts[i]
-    moves = _band_fill(
-        jnp.asarray(_pack2(qc)), jnp.asarray(_pack2(tc)),
-        jnp.asarray(m), jnp.asarray(n),
-        bw=bw, rc=rc, mrows=Mrows, lq=Lq, lt=Lt, interpret=interpret,
+    mj, nj = jnp.asarray(m), jnp.asarray(n)
+    q, tpad = _band_expand(
+        jnp.asarray(_pack2(qc)), jnp.asarray(_pack2(tc)), mj, nj,
+        bw=bw, lq=Lq, lt=Lt,
     )
+    moves = _band_fill(q, tpad, mj, nj,
+                       bw=bw, rc=rc, mrows=Mrows, interpret=interpret)
     cnts, mv0s, j_rem = _row_traceback_pallas(
         moves, jnp.asarray(m), jnp.asarray(n), bw=bw,
         mrows=moves.shape[1], interpret=interpret)
