@@ -218,16 +218,43 @@ def run_consensus(
 
     draft_codes = [str_to_codes(seq) for _, seq in contigs]
 
-    # per-contig alignment lists sorted by compare_overlap_aln (desc sum)
-    order = np.lexsort((np.arange(aln.n), -(aln.match_len()), aln.a_id))
-    bounds = np.searchsorted(aln.a_id[order], np.arange(n_contigs + 1))
+    # per-contig alignment lists sorted by compare_overlap_aln (desc sum).
+    # The reference sorts with libstdc++ std::sort (consensus.cpp:136),
+    # which is UNSTABLE: alignments of the same B read with tied summed
+    # match lengths can land in introsort order, and remove_multialign then
+    # keeps a different alignment than a stable sort would (seen as
+    # case-only consensus divergence at the 4.6Mb scale).  Replay the exact
+    # introsort permutation via native/stdcxx_order.cpp; fall back to the
+    # stable order only without the native toolchain.
+    file_order = np.argsort(aln.a_id, kind="stable").astype(np.int64)
+    bounds = np.searchsorted(aln.a_id[file_order], np.arange(n_contigs + 1))
+    from hinge_tpu.ops.pairs import _libstdcxx_orders
+
+    _orders = _libstdcxx_orders()
+    if _orders is not None and aln.n:
+        _, _sort_batch = _orders
+        w = np.ascontiguousarray(aln.match_len().astype(np.int64)[file_order])
+        off = np.ascontiguousarray(bounds.astype(np.int64))
+        perm = np.empty(aln.n, np.int32)
+        _sort_batch(w, off, n_contigs, perm)
+        counts = np.diff(bounds)
+        order = file_order[np.repeat(bounds[:-1], counts) + perm]
+    else:
+        order = np.lexsort((np.arange(aln.n), -(aln.match_len()), aln.a_id))
 
     results: List[Tuple[str, str]] = []
     for ci in range(n_contigs):
         tmpl = draft_codes[ci]
         alen = len(tmpl)
         rows = order[bounds[ci] : bounds[ci + 1]]
-        sel = remove_multialign(rows, aln, min_len)
+        # Reference quirk (consensus.cpp:62,155): remove_multialign receives
+        # the alignment vector BY VALUE, so its per-B dedup and length
+        # filter compact only the local copy — the caller keeps the original
+        # sorted list and the vote loop consumes its first seq_count
+        # entries (duplicate B reads and short alignments included).  Only
+        # the COUNT survives; replicate exactly.
+        seq_count = len(remove_multialign(rows, aln, min_len))
+        sel = list(rows[:seq_count])
         if not sel:
             results.append((f"Consensus{ci}", contigs[ci][1]))
             continue
