@@ -11,14 +11,15 @@ reference's scalar C++ event loops (conservative: the numpy baseline is
 itself vectorized; it runs on this host's 2 vCPUs).
 
 Output protocol (what the driver captures):
-  * The primary JSON line is computed and printed FIRST, flush=True —
-    a driver timeout after this point still records the headline number.
+  * stdout carries ONLY compact JSON lines (<1KB).  The primary line is
+    printed FIRST, flush=True — a driver timeout after this point still
+    records the headline number — and printed AGAIN as the LAST line so a
+    tail-parsing driver sees a complete JSON object either way (the r2/r3
+    scoreboards were lost to a truncated multi-KB enriched line).
   * e2e + scaling extras run only inside HINGE_BENCH_BUDGET total seconds
-    (default 420); when they finish in time, a second, enriched JSON line
-    with the same schema (+"e2e"/"scaling" keys) is printed and the full
-    detail is written to BENCH_DETAIL.json.
-  * Recorded full-scale runs (measured out-of-band on the real TPU during
-    the round, with dates) are merged from docs/bench_recorded.json.
+    (default 420); full enrichment (e2e stage breakdown, scaling curve,
+    recorded full-scale TPU runs from docs/bench_recorded.json) is written
+    to BENCH_DETAIL.json, never to stdout.
 """
 
 import json
@@ -427,8 +428,18 @@ def main():
         "chain": "coverage+masks+annotation+trim/classify+hinge_call",
     }
     rec = _recorded()
-    if rec is not None:
-        primary["recorded"] = rec
+    # full-scale TPU e2e wall from the recorded head-to-head, kept compact
+    if rec:
+        for entry in rec:
+            if entry.get("kind") == "e2e_assemble" and entry.get("backend") == "tpu":
+                primary["tpu_e2e_wall_s"] = entry.get("wall_s")
+            if entry.get("kind") == "reference_stage_wall":
+                primary["ref_stage_total_s"] = entry.get("reference_total_s")
+                ours = entry.get("hinge_tpu_tpu_s") or entry.get("hinge_tpu_cpu_s")
+                if ours:
+                    keys = ("filter", "maximal", "layout", "draft", "consensus")
+                    primary["our_stage_total_s"] = round(
+                        sum(ours.get(k, 0.0) for k in keys), 1)
     # the headline lands NOW — a driver timeout past this point still
     # captures the primary number
     print(json.dumps(primary), flush=True)
@@ -440,13 +451,20 @@ def main():
         enriched["e2e"] = e2e
     if scaling is not None:
         enriched["scaling"] = scaling
+    if rec is not None:
+        enriched["recorded"] = rec
     try:
         with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
             json.dump(enriched, f, indent=1)
     except OSError:
         pass
-    if e2e is not None or scaling is not None:
-        print(json.dumps(enriched), flush=True)
+    if e2e is not None:
+        primary["e2e_wall_s"] = e2e.get("wall_s")
+        primary["e2e_backend"] = e2e.get("backend")
+    if scaling is not None and "speedup_8x" in scaling:
+        primary["scaling_speedup_8x"] = scaling["speedup_8x"]
+    # LAST stdout line = the same compact primary object (tail-parse safe)
+    print(json.dumps(primary), flush=True)
 
 
 if __name__ == "__main__":

@@ -122,7 +122,7 @@ with tempfile.TemporaryDirectory() as base:
             == open(os.path.join(my_dir, "X.consensus.fasta"), "rb").read())
 
 entry = {
-    "date": "2026-08-20",
+    "date": time.strftime("%Y-%m-%d"),
     "kind": "reference_stage_wall",
     "workload": {"genome_mb": round(GLEN / 1e6, 2), "coverage_x": COV,
                  "n_reads": n_reads, "n_records": n_ov},

@@ -17,6 +17,7 @@ _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "io_native.cpp")
 _SRC2 = os.path.join(_HERE, "dalign_np.cpp")
 _SRC3 = os.path.join(_HERE, "stdcxx_order.cpp")
+_SRC4 = os.path.join(_HERE, "sweeps.cpp")
 _BUILD_DIR = os.path.join(_HERE, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libhinge_io.so")
 _lock = threading.Lock()
@@ -28,7 +29,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        _SRC, _SRC2, _SRC3, "-o", _LIB_PATH,
+        _SRC, _SRC2, _SRC3, _SRC4, "-o", _LIB_PATH,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -48,7 +49,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH) or (
             os.path.getmtime(_LIB_PATH)
             < max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
-                  os.path.getmtime(_SRC3))
+                  os.path.getmtime(_SRC3), os.path.getmtime(_SRC4))
         ):
             if not _build():
                 return None
@@ -78,6 +79,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "dalign_diffs_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int
+        if hasattr(lib, "containment_sweep"):
+            lib.containment_sweep.restype = c.c_int64
         for fn in ("umap_iter_order", "stdsort_desc_perm",
                    "umap_iter_order_batch", "stdsort_desc_perm_batch"):
             if hasattr(lib, fn):

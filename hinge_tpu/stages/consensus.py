@@ -204,6 +204,64 @@ def remove_multialign(rows: np.ndarray, ov: OverlapStore, min_len: int) -> List[
     return out
 
 
+def sort_alignments(aln: OverlapStore, n_contigs: int):
+    """Per-contig alignment order by compare_overlap_aln (desc summed match
+    length), replaying the reference's sort exactly.
+
+    The reference sorts with libstdc++ std::sort (consensus.cpp:136), which
+    is UNSTABLE: alignments of the same B read with tied summed match
+    lengths can land in introsort order, and remove_multialign then keeps a
+    different alignment than a stable sort would (seen as case-only
+    consensus divergence at the 4.6Mb scale).  Replay the exact introsort
+    permutation via native/stdcxx_order.cpp; fall back to the stable order
+    only without the native toolchain.  Returns (order, bounds): contig ci's
+    sorted rows are order[bounds[ci]:bounds[ci+1]].
+    """
+    file_order = np.argsort(aln.a_id, kind="stable").astype(np.int64)
+    bounds = np.searchsorted(aln.a_id[file_order], np.arange(n_contigs + 1))
+    from hinge_tpu.ops.pairs import _libstdcxx_orders
+
+    _orders = _libstdcxx_orders()
+    # rows with a_id outside [0, n_contigs) have no contig to vote on; drop
+    # them up front so both sort paths (native batch + lexsort fallback)
+    # see the same population (the lexsort path previously ignored them
+    # silently while the native path mis-sized its permutation)
+    if aln.n and (int(aln.a_id.min()) < 0 or int(aln.a_id.max()) >= n_contigs):
+        keep = (aln.a_id[file_order] >= 0) & (aln.a_id[file_order] < n_contigs)
+        file_order = file_order[keep]
+        bounds = np.searchsorted(
+            aln.a_id[file_order], np.arange(n_contigs + 1))
+    if _orders is not None and len(file_order):
+        _, _sort_batch = _orders
+        w = np.ascontiguousarray(aln.match_len().astype(np.int64)[file_order])
+        off = np.ascontiguousarray(bounds.astype(np.int64))
+        perm = np.empty(len(file_order), np.int32)
+        _sort_batch(w, off, n_contigs, perm)
+        counts = np.diff(bounds)
+        order = file_order[np.repeat(bounds[:-1], counts) + perm]
+    else:
+        sub = np.lexsort((
+            np.arange(len(file_order)),
+            -(aln.match_len()[file_order]),
+            aln.a_id[file_order],
+        ))
+        order = file_order[sub]
+    return order, bounds
+
+
+def select_rows(rows: np.ndarray, aln: OverlapStore, min_len: int):
+    """Rows the vote loop actually consumes for one contig.
+
+    Reference quirk (consensus.cpp:62,155): remove_multialign receives the
+    alignment vector BY VALUE, so its per-B dedup and length filter compact
+    only the local copy — the caller keeps the original sorted list and the
+    vote loop consumes its first seq_count entries (duplicate B reads and
+    short alignments included).  Only the COUNT survives; replicate exactly.
+    """
+    seq_count = len(remove_multialign(rows, aln, min_len))
+    return list(rows[:seq_count])
+
+
 def run_consensus(
     contigs: List[Tuple[str, str]],  # (name, draft sequence text)
     rs: ReadStore,  # raw reads
@@ -218,43 +276,14 @@ def run_consensus(
 
     draft_codes = [str_to_codes(seq) for _, seq in contigs]
 
-    # per-contig alignment lists sorted by compare_overlap_aln (desc sum).
-    # The reference sorts with libstdc++ std::sort (consensus.cpp:136),
-    # which is UNSTABLE: alignments of the same B read with tied summed
-    # match lengths can land in introsort order, and remove_multialign then
-    # keeps a different alignment than a stable sort would (seen as
-    # case-only consensus divergence at the 4.6Mb scale).  Replay the exact
-    # introsort permutation via native/stdcxx_order.cpp; fall back to the
-    # stable order only without the native toolchain.
-    file_order = np.argsort(aln.a_id, kind="stable").astype(np.int64)
-    bounds = np.searchsorted(aln.a_id[file_order], np.arange(n_contigs + 1))
-    from hinge_tpu.ops.pairs import _libstdcxx_orders
-
-    _orders = _libstdcxx_orders()
-    if _orders is not None and aln.n:
-        _, _sort_batch = _orders
-        w = np.ascontiguousarray(aln.match_len().astype(np.int64)[file_order])
-        off = np.ascontiguousarray(bounds.astype(np.int64))
-        perm = np.empty(aln.n, np.int32)
-        _sort_batch(w, off, n_contigs, perm)
-        counts = np.diff(bounds)
-        order = file_order[np.repeat(bounds[:-1], counts) + perm]
-    else:
-        order = np.lexsort((np.arange(aln.n), -(aln.match_len()), aln.a_id))
+    order, bounds = sort_alignments(aln, n_contigs)
 
     results: List[Tuple[str, str]] = []
     for ci in range(n_contigs):
         tmpl = draft_codes[ci]
         alen = len(tmpl)
         rows = order[bounds[ci] : bounds[ci + 1]]
-        # Reference quirk (consensus.cpp:62,155): remove_multialign receives
-        # the alignment vector BY VALUE, so its per-B dedup and length
-        # filter compact only the local copy — the caller keeps the original
-        # sorted list and the vote loop consumes its first seq_count
-        # entries (duplicate B reads and short alignments included).  Only
-        # the COUNT survives; replicate exactly.
-        seq_count = len(remove_multialign(rows, aln, min_len))
-        sel = list(rows[:seq_count])
+        sel = select_rows(rows, aln, min_len)
         if not sel:
             results.append((f"Consensus{ci}", contigs[ci][1]))
             continue

@@ -37,6 +37,35 @@ def _top_k(sub: OverlapStore, k: int) -> np.ndarray:
     return top_k_per_pair(sub, k=k)
 
 
+def _native_sweep(a_ids, b_ids, is_bcovera, active):
+    """Containment sweep via native/sweeps.cpp::containment_sweep; mutates
+    `active` in place and returns the (read, containing) pairs, or None when
+    the toolchain is unavailable (caller falls back to the Python loop)."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "containment_sweep"):
+        return None
+    a = np.ascontiguousarray(a_ids, np.int32)
+    b = np.ascontiguousarray(b_ids, np.int32)
+    f = np.ascontiguousarray(is_bcovera, np.uint8)
+    act = active.view(np.uint8) if active.dtype == np.bool_ else active
+    act = np.ascontiguousarray(act)
+    out = np.empty(2 * max(len(a), 1), np.int32)
+    n = lib.containment_sweep(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(a)),
+        act.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    active[:] = act.view(np.bool_) if active.dtype == np.bool_ else act
+    return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+
 @dataclasses.dataclass
 class MaximalResult:
     active: np.ndarray  # bool [n_reads] after containment removal
@@ -89,36 +118,44 @@ def run_maximal(
         is_bcovera = pa.match_type == CL.BCOVERA
 
         # sequential containment sweep in ascending read order; candidates
-        # are already emitted grouped by a_id ascending
+        # are already emitted grouped by a_id ascending.  Order-dependent by
+        # construction (earlier contained reads can no longer contain), so
+        # it runs as a native C pass (native/sweeps.cpp); the Python loop
+        # below is the toolchain-free fallback and the oracle it must match
+        # (tests/test_maximal_stage.py).
         order = np.argsort(a_ids, kind="stable")
-        last_i = -1
-        contained_flag = False
-        containing = -1
-        for q in order:
-            i = int(a_ids[q])
-            if i != last_i:
-                if last_i >= 0 and contained_flag and active[last_i]:
-                    active[last_i] = False
-                    contained_pairs.append((last_i, containing))
-                last_i = i
-                contained_flag = False
-                containing = -1
-            if not active[i]:
-                continue
-            if is_bcovera[q]:
-                containing_read = int(b_ids[q])
-                # reference: containing_read is recorded regardless of B
-                # activity, contained flag only counts active B
-                containing = containing_read
-                if active[containing_read]:
-                    contained_flag = True
-        if last_i >= 0 and contained_flag and active[last_i]:
-            active[last_i] = False
-            contained_pairs.append((last_i, containing))
+        sweep = _native_sweep(
+            a_ids[order], b_ids[order], is_bcovera[order], active)
+        if sweep is not None:
+            contained_pairs.extend(sweep)
+        else:
+            last_i = -1
+            contained_flag = False
+            containing = -1
+            for q in order:
+                i = int(a_ids[q])
+                if i != last_i:
+                    if last_i >= 0 and contained_flag and active[last_i]:
+                        active[last_i] = False
+                        contained_pairs.append((last_i, containing))
+                    last_i = i
+                    contained_flag = False
+                    containing = -1
+                if not active[i]:
+                    continue
+                if is_bcovera[q]:
+                    containing_read = int(b_ids[q])
+                    # reference: containing_read is recorded regardless of B
+                    # activity, contained flag only counts active B
+                    containing = containing_read
+                    if active[containing_read]:
+                        contained_flag = True
+            if last_i >= 0 and contained_flag and active[last_i]:
+                active[last_i] = False
+                contained_pairs.append((last_i, containing))
 
-        for i in range(r_begin, r_end + 1):
-            if active[i]:
-                max_lines.append(i)
+        max_lines.extend(
+            (r_begin + np.nonzero(active[r_begin : r_end + 1])[0]).tolist())
 
     if out_prefix is not None:
         with open(out_prefix + ".max", "w") as fo:

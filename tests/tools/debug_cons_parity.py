@@ -14,7 +14,8 @@ import subprocess
 import sys
 import tempfile
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
+_HERE = os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 BIN = os.path.join(_HERE, "refbuild", "bin")
 REF_INI = "/root/reference/utils/nominal.ini"
 
