@@ -79,8 +79,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "dalign_diffs_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int
-        if hasattr(lib, "containment_sweep"):
-            lib.containment_sweep.restype = c.c_int64
+        for fn in ("containment_sweep", "consensus_vote_batch"):
+            if hasattr(lib, fn):
+                getattr(lib, fn).restype = c.c_int64
         for fn in ("umap_iter_order", "stdsort_desc_perm",
                    "umap_iter_order_batch", "stdsort_desc_perm_batch"):
             if hasattr(lib, fn):

@@ -185,6 +185,36 @@ def qv_mask(
     return (maxs * tspace).astype(jnp.int32), (maxe * tspace).astype(jnp.int32)
 
 
+def qv_mask_np(good: np.ndarray, n_segs: np.ndarray, *, tspace: int):
+    """Vectorized-numpy mirror of qv_mask (same algorithm, same outputs).
+
+    The QV grid is tiny (reads x ~read_len/tspace bools) and latency-bound
+    on any accelerator; the filter stage uses this host path by default so
+    the device pipeline spends its dispatches on the heavy pileup kernels.
+    Pinned against the same oracle as the device kernel
+    (tests/test_filter_ops.py)."""
+    reads, nseg = good.shape
+    seg = np.arange(nseg, dtype=np.int32)
+    eligible = good & (seg[None, :] < (n_segs[:, None].astype(np.int64) - 1))
+    prev = np.zeros_like(eligible)
+    prev[:, 1:] = eligible[:, :-1]
+    is_start = eligible & ~prev
+    start_idx = np.where(is_start, seg[None, :], 0)
+    s0 = np.maximum.accumulate(np.where(eligible, start_idx, -1), axis=1)
+    pe = np.concatenate([eligible, np.zeros((reads, 1), bool)], axis=1)
+    ppos = np.concatenate([np.zeros((reads, 1), bool), eligible], axis=1)
+    flush = ~pe & ppos
+    s0x = np.concatenate([np.full((reads, 1), -1, s0.dtype), s0], axis=1)
+    e = np.arange(nseg + 1, dtype=np.int64)[None, :]
+    cand = np.where(flush, e - np.maximum(s0x, 0), -1)
+    best = np.argmax(cand, axis=1)
+    rows = np.arange(reads)
+    found = cand[rows, best] > 0
+    maxs = np.where(found, np.maximum(s0x[rows, best], 0), 0)
+    maxe = np.where(found, best, 0)
+    return (maxs * tspace).astype(np.int32), (maxe * tspace).astype(np.int32)
+
+
 @jax.jit
 def coverage_gradient(cov: jnp.ndarray) -> jnp.ndarray:
     """cg[j] = cov[j+1] - cov[j] (filter.cpp:604-609); last column unused."""

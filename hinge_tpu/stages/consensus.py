@@ -168,24 +168,56 @@ def _vote_tallies(
             ins_scores.reshape(alen, 5).astype(np.int32))
 
 
+def _native_vote_tallies(flat_a, flat_b, seg_len, pos0, alen, chop=100):
+    """One-pass C vote accumulation (native/sweeps.cpp); integer-exact vs
+    `_vote_tallies`, which tests pin as the oracle.  None without the
+    toolchain."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "consensus_vote_batch"):
+        return None
+    n = int(seg_len.size)
+    seg_off = np.zeros(n + 1, np.int64)
+    np.cumsum(seg_len.astype(np.int64), out=seg_off[1:])
+    fa = np.ascontiguousarray(flat_a, np.uint8)
+    fb = np.ascontiguousarray(flat_b, np.uint8)
+    p0 = np.ascontiguousarray(pos0, np.int64)
+    scores = np.zeros(alen * 5, np.int64)
+    cov = np.zeros(alen, np.int64)
+    ins_score = np.zeros(alen, np.int64)
+    ins_scores = np.zeros(alen * 5, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.consensus_vote_batch(
+        fa.ctypes.data_as(u8p), fb.ctypes.data_as(u8p),
+        seg_off.ctypes.data_as(i64p), p0.ctypes.data_as(i64p),
+        ctypes.c_int64(n), ctypes.c_int64(alen), ctypes.c_int32(chop),
+        scores.ctypes.data_as(i64p), cov.ctypes.data_as(i64p),
+        ins_score.ctypes.data_as(i64p), ins_scores.ctypes.data_as(i64p),
+    )
+    return (scores.reshape(alen, 5).astype(np.int32), cov.astype(np.int32),
+            ins_score.astype(np.int32), ins_scores.reshape(alen, 5).astype(np.int32))
+
+
 def _tallies_dispatch(flat_a, flat_b, seg_len, pos0, alen):
-    """numpy tallies on CPU backends, device scatter-add kernel on TPU
-    (integer-exact either way; HINGE_DEVICE_VOTE=1/0 overrides)."""
+    """Native C single-pass vote when the toolchain is available (fastest on
+    this rig: the flat rows already live host-side), else numpy; the device
+    scatter-add kernel stays selectable with HINGE_DEVICE_VOTE=1 (all three
+    integer-exact; tests/test_consensus_vote.py cross-pins them)."""
     import os
 
     mode = os.environ.get("HINGE_DEVICE_VOTE", "auto")
-    use_dev = mode == "1"
-    if mode == "auto":
-        try:
-            import jax
-
-            use_dev = jax.default_backend() == "tpu"
-        except Exception:
-            use_dev = False
-    if use_dev:
+    if mode == "1":
         from hinge_tpu.ops.consensus_vote import vote_tallies_device
 
         return vote_tallies_device(flat_a, flat_b, seg_len, pos0, alen)
+    if mode != "np":
+        native = _native_vote_tallies(flat_a, flat_b, seg_len, pos0, alen)
+        if native is not None:
+            return native
     return _vote_tallies(flat_a, flat_b, seg_len, pos0, alen)
 
 

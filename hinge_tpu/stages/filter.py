@@ -58,9 +58,12 @@ def qv_masks_all(rs: ReadStore, tspace: int, threshold: int = 40) -> np.ndarray:
     seg_id = np.repeat(np.arange(n), nseg)
     col = np.arange(int(nseg.sum())) - np.repeat(rs.qv_off[:-1], nseg)
     good[seg_id, col] = rs.qv_val < threshold
-    ms, me = C.qv_mask(jnp.asarray(good), jnp.asarray(nseg, dtype=np.int32), tspace=tspace)
-    out[:, 0] = np.asarray(ms)
-    out[:, 1] = np.asarray(me)
+    # host path: the grid is reads x ~190 bools — latency-bound on device
+    # (the equivalent device kernel C.qv_mask stays for the mesh tests);
+    # measured 115s+ through the remote-TPU tunnel vs ~10ms here
+    ms, me = C.qv_mask_np(good, nseg.astype(np.int32), tspace=tspace)
+    out[:, 0] = ms
+    out[:, 1] = me
     return out
 
 

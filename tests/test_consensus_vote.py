@@ -105,3 +105,24 @@ def test_sharded_vote_matches_numpy_tallies(n_dev):
     got = sharded_vote_tallies(mesh, fa, fb, sl, pos0, alen, alen_bucket=1024)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_vote_matches_numpy_tallies():
+    from hinge_tpu.stages.consensus import _native_vote_tallies
+
+    rng = np.random.default_rng(11)
+    ran = False
+    for _ in range(10):
+        n = int(rng.integers(1, 60))
+        rows_a, rows_b = _random_rows(rng, n)
+        fa, fb, sl = _flat(rows_a, rows_b)
+        pos0 = rng.integers(0, 50, n).astype(np.int64)
+        alen = int(rng.integers(200, 3000))
+        ref = _vote_tallies(fa, fb, sl, pos0, alen)
+        got = _native_vote_tallies(fa, fb, sl, pos0, alen)
+        if got is None:
+            pytest.skip("native toolchain unavailable")
+        ran = True
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+    assert ran

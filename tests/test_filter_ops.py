@@ -124,9 +124,11 @@ def test_qv_mask_matches_oracle():
     for i in range(n):
         good[i, : segs[i]] = rng.random(segs[i]) < 0.8
     ms, me = (np.asarray(x) for x in C.qv_mask(jnp.asarray(good), jnp.asarray(segs, dtype=np.int32), tspace=tspace))
+    nms, nme = C.qv_mask_np(good, segs.astype(np.int32), tspace=tspace)
     for i in range(n):
         oms, ome = O.qv_mask_oracle(good[i, : segs[i]].astype(int), tspace)
         assert (ms[i], me[i]) == (oms, ome), i
+        assert (nms[i], nme[i]) == (oms, ome), i  # host mirror, same oracle
 
 
 def test_qv_mask_last_segment_excluded():
