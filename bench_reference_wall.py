@@ -130,6 +130,12 @@ entry = {
     "hinge_tpu_cpu_s": my_t,
     "reference_total_s": round(sum(ref_t.values()), 1),
     "hinge_tpu_cpu_total_s": round(sum(my_t.values()), 1),
+    # apples-to-apples: only the five stages the reference side also runs
+    # (clip/draft-path/map are ours on BOTH sides and excluded from
+    # reference_total_s, so the all-stage total above overstates our side)
+    "hinge_tpu_cpu_5stage_s": round(sum(
+        my_t.get(k, 0.0)
+        for k in ("filter", "maximal", "layout", "draft", "consensus")), 1),
     "consensus_fasta_identical": bool(same),
     "notes": ("identical X.db/X.las inputs; reference binaries from "
               "refbuild/build.sh; clip/draft-path (py2-only upstream) and "

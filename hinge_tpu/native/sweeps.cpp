@@ -9,6 +9,80 @@
 // already have been deactivated by their own containment).
 #include <cstdint>
 
+// trim_overlaps_batch: LOverlap::trim_overlap over a candidate batch
+// (reference: src/lib/LAInterface.cpp:4552-4683).  Walks each overlap's
+// trace-point lattice directly from the .las trace bytes — one pass, no
+// materialized prefix-sum/point-index arrays — and reproduces the
+// ops/classify.py lattice kernel bit-for-bit (cross-pinned by
+// tests/test_classify_ops.py): point k has
+//   A_k = k==0 ? a_start : k==npairs ? a_end : (a_start/tspace + k)*tspace
+//   W_k = k==npairs ? wend : k==0 ? w0 : w0 + sign*cumdisp   (note the
+//   k==npairs test outranks k==0 when npairs==0, matching the kernel's
+//   where-nesting)
+// first start-valid point and last end-valid point become the effective
+// match span; active = first_start_k < max(last_end_k, 0).
+#include <cstring>
+
+extern "C" int64_t trim_overlaps_batch(
+    const int32_t* a_start, const int32_t* a_end,
+    const int32_t* b_start, const int32_t* b_end, const int32_t* rc,
+    const int32_t* eas, const int32_t* eae,
+    const int32_t* ebs, const int32_t* ebe,
+    const int32_t* tlen, const int64_t* trace_off, const uint16_t* trace,
+    int64_t n, int32_t tspace,
+    int32_t* eams, int32_t* eame, int32_t* ebms, int32_t* ebme,
+    uint8_t* active)
+{
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t np_ = tlen[i] / 2;
+        const int32_t npts = np_ + 1;
+        const int32_t a0 = a_start[i], a1 = a_end[i];
+        const int32_t rci = rc[i];
+        const int32_t w0 = rci ? b_end[i] : b_start[i];
+        const int32_t wend = rci ? b_start[i] : b_end[i];
+        const int32_t sgn = 1 - 2 * rci;
+        const int32_t EAS = eas[i], EAE = eae[i];
+        const int32_t EBS = ebs[i], EBE = ebe[i];
+        const uint16_t* tr = trace + trace_off[i];
+        const int32_t abase = (a0 / tspace) * tspace;
+        int32_t first_k = npts, last_k = -1;
+        int32_t sA = 0, sW = 0, eA = 0, eW = 0;
+        int64_t cum = 0;
+        for (int32_t k = 0; k < npts; ++k) {
+            int32_t A, W;
+            if (k > 0) cum += tr[2 * (k - 1) + 1];
+            if (k == np_) {  // outranks k==0 for W when npairs==0
+                A = (k == 0) ? a0 : a1;
+                W = wend;
+            } else if (k == 0) {
+                A = a0;
+                W = w0;
+            } else {
+                A = abase + k * tspace;
+                W = w0 + sgn * (int32_t)cum;
+            }
+            const bool s_ok = (A >= EAS) && (rci ? (W <= EBE) : (W >= EBS));
+            const bool e_ok = (A <= EAE) && (rci ? (W >= EBS) : (W <= EBE));
+            if (s_ok && first_k == npts) { first_k = k; sA = A; sW = W; }
+            if (e_ok) { last_k = k; eA = A; eW = W; }
+        }
+        const bool found_s = first_k < npts;
+        const bool found_e = last_k >= 0;
+        const int32_t eidx = found_e ? last_k : 0;
+        eams[i] = found_s ? sA : a0;
+        eame[i] = found_e ? eA : a1;
+        if (rci) {
+            ebms[i] = found_e ? eW : b_start[i];
+            ebme[i] = found_s ? sW : b_end[i];
+        } else {
+            ebms[i] = found_s ? sW : b_start[i];
+            ebme[i] = found_e ? eW : b_end[i];
+        }
+        active[i] = first_k < eidx ? 1 : 0;
+    }
+    return 0;
+}
+
 // consensus_vote_batch: the consensus column-vote accumulation
 // (reference: src/consensus/consensus.cpp:162-230 walk + chop_end :28-45).
 // One scalar pass per alignment row over its columns; votes land directly

@@ -224,6 +224,52 @@ def add_types_asymmetric(
     return t.astype(jnp.int32)
 
 
+def add_types_asymmetric_np(
+    eff_a_match_start, eff_a_match_end, eff_b_match_start, eff_b_match_end,
+    eff_a_read_start, eff_a_read_end, eff_b_read_start, eff_b_read_end,
+    rc, max_overhang, min_overhang,
+):
+    """Numpy mirror of add_types_asymmetric (same cascade, same outputs) —
+    used by the host fast path in ops/pairs.process_alignments; cross-pinned
+    against the jitted kernel in tests/test_classify_ops.py."""
+    oal = eff_a_match_start - eff_a_read_start
+    oar = eff_a_read_end - eff_a_match_end
+    obl0 = eff_b_match_start - eff_b_read_start
+    obr0 = eff_b_read_end - eff_b_match_end
+    obl = np.where(rc == 1, obr0, obl0)
+    obr = np.where(rc == 1, obl0, obr0)
+
+    c_bcovera = (np.maximum(oal, oar) < max_overhang) & (np.minimum(obl, obr) > min_overhang)
+    c_acoverb = (np.maximum(obl, obr) < max_overhang) & (np.minimum(oal, oar) > min_overhang)
+    c_internal = np.minimum(oal, oar) > max_overhang
+    c_left = oal <= max_overhang
+    c_bwd = (obr <= max_overhang) & (obl >= max_overhang)
+    c_bwd_int = (obr >= max_overhang) & (obl >= max_overhang)
+    c_right = oar <= max_overhang
+    c_fwd = (obl <= max_overhang) & (obr >= max_overhang)
+    c_fwd_int = (obl >= max_overhang) & (obr >= max_overhang)
+
+    t = np.where(
+        c_bcovera, BCOVERA,
+        np.where(
+            c_acoverb, ACOVERB,
+            np.where(
+                c_internal, INTERNAL,
+                np.where(
+                    c_left,
+                    np.where(c_bwd, BACKWARD, np.where(c_bwd_int, BACKWARD_INTERNAL, UNDEFINED)),
+                    np.where(
+                        c_right,
+                        np.where(c_fwd, FORWARD, np.where(c_fwd_int, FORWARD_INTERNAL, UNDEFINED)),
+                        UNDEFINED,
+                    ),
+                ),
+            ),
+        ),
+    )
+    return t.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("tspace",))
 def matching_position(
     ov_idx,  # int32 [m] overlap row per query

@@ -186,3 +186,43 @@ def test_matching_position_roundtrip(small_sim):
         if m >= 10 and (wa[:m] == wb[:m]).mean() > 0.9:
             checked += 1
     assert checked > 20
+
+
+@pytest.mark.parametrize("fixture", ["small_sim", "noisy_sim"])
+def test_native_trim_matches_lattice(fixture, request):
+    """native/sweeps.cpp::trim_overlaps_batch vs the lattice kernel,
+    bit-for-bit over whole stores (incl. npairs==0 rows, both strands)."""
+    from hinge_tpu.ops.pairs import _native_trim
+
+    sim = request.getfixturevalue(fixture)
+    ov, rs = sim["overlaps"], sim["read_store"]
+    rng = np.random.default_rng(9)
+    es, ee = _rand_masks(ov, rs, rng)
+    ears, eare = es[ov.a_id], ee[ov.a_id]
+    ebrs, ebre = es[ov.b_id], ee[ov.b_id]
+    native = _native_trim(ov, ears, eare, ebrs, ebre, ov.tspace)
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    tw, seg_id, k_local = _walk_inputs(ov)
+    eff = CL.trim_overlaps(
+        jnp.asarray(ov.a_start), jnp.asarray(ov.a_end),
+        jnp.asarray(ov.b_start), jnp.asarray(ov.b_end), jnp.asarray(ov.rc),
+        jnp.asarray(ears), jnp.asarray(eare), jnp.asarray(ebrs), jnp.asarray(ebre),
+        jnp.asarray(tw.npairs), jnp.asarray(tw.pair_off),
+        jnp.asarray(tw.cum), jnp.asarray(seg_id), jnp.asarray(k_local),
+        tspace=ov.tspace,
+    )
+    for got, ref in zip(native, eff):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_add_types_np_matches_device(small_sim):
+    ov, rs = small_sim["overlaps"], small_sim["read_store"]
+    rng = np.random.default_rng(4)
+    es, ee = _rand_masks(ov, rs, rng)
+    args = (ov.a_start, ov.a_end, ov.b_start, ov.b_end,
+            es[ov.a_id], ee[ov.a_id], es[ov.b_id], ee[ov.b_id],
+            ov.rc, 300, -300)
+    dev = np.asarray(CL.add_types_asymmetric(*(jnp.asarray(a) if isinstance(a, np.ndarray) else a for a in args)))
+    host = CL.add_types_asymmetric_np(*args)
+    np.testing.assert_array_equal(dev, host)
