@@ -45,7 +45,7 @@ with tempfile.TemporaryDirectory() as tmp:
     longest = max((len(s) for _, s in res["contigs"]), default=0)
 
 entry = {
-    "date": "2026-08-20",
+    "date": time.strftime("%Y-%m-%d"),
     "kind": "e2e_assemble",
     "backend": backend,
     "workload": {"genome_mb": round(GLEN / 1e6, 2), "coverage_x": COV,

@@ -86,9 +86,82 @@ def _self_match_reads(ov: OverlapStore, rs: ReadStore) -> Set[int]:
 CHUNK_READS = 8192
 
 
+class _ResidentProfiles:
+    """Per-chunk coverage grids held ON DEVICE between the profile, mask,
+    and annotation phases — each grid is downloaded at most once and never
+    re-uploaded.  The remote-TPU tunnel here has both low bandwidth
+    (~50MB/s) and highly variable kernel latency (shared pool), so the
+    design goal is minimum transfer volume and a minimum number of
+    dispatch/sync points, not per-kernel speed."""
+
+    def __init__(self, chunks):
+        # chunks: list of (base, hi, cov_dev, cov_cut_dev, ne_dev, ne_cut_dev)
+        self.chunks = chunks
+        self._cov_np = None
+        self._cov_cut_np = None
+
+    def masks(self, min_cov, n_chunk, reso):
+        """coverage_mask over the resident cut grids (filter.cpp:696-755)."""
+        ms = np.zeros(n_chunk, np.int32)
+        me = np.zeros(n_chunk, np.int32)
+        msc = np.zeros(n_chunk, np.int32)
+        mec = np.zeros(n_chunk, np.int32)
+        for base, hi, _, cov_cut_dev, _, ne_cut_dev in self.chunks:
+            r = C.coverage_mask(
+                jnp.maximum(cov_cut_dev - jnp.int32(min_cov), 0),
+                ne_cut_dev, reso=reso)
+            span = hi - base
+            ms[base:hi] = np.asarray(r[0])[:span]
+            me[base:hi] = np.asarray(r[1])[:span]
+            msc[base:hi] = np.asarray(r[2])[:span]
+            mec[base:hi] = np.asarray(r[3])[:span]
+        return ms, me, msc, mec
+
+    def annotation(self, m0, m1, min_cov, n_chunk, nb, f, reso):
+        """repeat_annotation_mask over the resident base grids."""
+        ann = np.zeros((n_chunk, nb - 1), np.int8)
+        for base, hi, cov_dev, _, ne_dev, _ in self.chunks:
+            span = hi - base
+            m0p = np.zeros(CHUNK_READS, np.int32)
+            m1p = np.zeros(CHUNK_READS, np.int32)
+            m0p[:span] = m0[base:hi]
+            m1p[:span] = m1[base:hi]
+            ann[base:hi] = np.asarray(
+                C.repeat_annotation_mask(
+                    cov_dev, ne_dev, jnp.asarray(m0p), jnp.asarray(m1p),
+                    jnp.int32(min_cov), reso=reso,
+                    coverage_fraction=f.coverage_frac_repeat_annotation,
+                    min_thresh=f.min_repeat_annotation_threshold,
+                    max_thresh=f.max_repeat_annotation_threshold,
+                    no_hinge_region=f.no_hinge_region,
+                )
+            )[:span]
+        return ann
+
+    def cov_np(self, n_chunk, nb):
+        """The base coverage grid, downloaded once (coverage.txt lines,
+        hinge gating, coverage estimation)."""
+        if self._cov_np is None:
+            out = np.zeros((n_chunk, nb), np.int32)
+            for base, hi, cov_dev, _, _, _ in self.chunks:
+                out[base:hi] = np.asarray(cov_dev)[: hi - base]
+            self._cov_np = out
+        return self._cov_np
+
+    def cov_cut_np(self, n_chunk, nb):
+        """The cutoff grid, downloaded once (telomere flag sums only)."""
+        if self._cov_cut_np is None:
+            out = np.zeros((n_chunk, nb), np.int32)
+            for base, hi, _, cov_cut_dev, _, _ in self.chunks:
+                out[base:hi] = np.asarray(cov_cut_dev)[: hi - base]
+            self._cov_cut_np = out
+        return self._cov_cut_np
+
+
 def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
     """Coverage grids for a contiguous read range, chunked over reads so
-    device memory stays bounded. Returns numpy arrays.
+    device memory stays bounded.  Returns (profiles, ne, ne_cut) where
+    `profiles` keeps the grids device-resident (_ResidentProfiles).
 
     HINGE_SHARDED=1 routes the scatter/cumsum chain over the device mesh
     (psum/pmax collectives) — bit-identical outputs, so the stage files
@@ -101,15 +174,30 @@ def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
 
     mesh = stage_mesh()
     if mesh is not None:
-        return run_sharded_profiles(
+        cov, cov_cut, ne, ne_cut = run_sharded_profiles(
             a_rel_all, a_s_all, a_e_all, n_chunk, mesh,
             nb=nb, reso=reso, cut_off=cut_off)
+        chunks = []
+        for base in range(0, n_chunk, CHUNK_READS):
+            hi = min(base + CHUNK_READS, n_chunk)
+            cpad = np.zeros((CHUNK_READS, nb), np.int32)
+            cpad[: hi - base] = cov[base:hi]
+            ccpad = np.zeros((CHUNK_READS, nb), np.int32)
+            ccpad[: hi - base] = cov_cut[base:hi]
+            npad = np.zeros(CHUNK_READS, np.int32)
+            npad[: hi - base] = ne[base:hi]
+            ncpad = np.zeros(CHUNK_READS, np.int32)
+            ncpad[: hi - base] = ne_cut[base:hi]
+            chunks.append((base, hi, jnp.asarray(cpad), jnp.asarray(ccpad),
+                           jnp.asarray(npad), jnp.asarray(ncpad)))
+        prof = _ResidentProfiles(chunks)
+        prof._cov_np = cov
+        prof._cov_cut_np = cov_cut
+        return prof, ne, ne_cut
 
-    cov = np.zeros((n_chunk, nb), dtype=np.int32)
-    cov_cut = np.zeros((n_chunk, nb), dtype=np.int32)
     ne = np.zeros(n_chunk, dtype=np.int32)
     ne_cut = np.zeros(n_chunk, dtype=np.int32)
-
+    chunks = []
     # rows are sorted by a_id: binary-search the chunk boundaries
     for base in range(0, n_chunk, CHUNK_READS):
         hi = min(base + CHUNK_READS, n_chunk)
@@ -119,22 +207,19 @@ def _device_profiles(ov, sel, r_begin, n_chunk, nb, reso, cut_off):
         a_s = jnp.asarray(a_s_all[lo_row:hi_row])
         a_e = jnp.asarray(a_e_all[lo_row:hi_row])
         span = hi - base
-        cov[base:hi] = np.asarray(
-            C.profile_coverage(a_rel, a_s, a_e, jnp.int32(0),
-                               n_reads=CHUNK_READS, nb=nb, reso=reso)
-        )[:span]
-        cov_cut[base:hi] = np.asarray(
-            C.profile_coverage(a_rel, a_s, a_e, jnp.int32(cut_off),
-                               n_reads=CHUNK_READS, nb=nb, reso=reso)
-        )[:span]
+        cov_dev = C.profile_coverage(a_rel, a_s, a_e, jnp.int32(0),
+                                     n_reads=CHUNK_READS, nb=nb, reso=reso)
+        cov_cut_dev = C.profile_coverage(a_rel, a_s, a_e, jnp.int32(cut_off),
+                                         n_reads=CHUNK_READS, nb=nb, reso=reso)
         me, ms, cnt = C.pileup_stats(a_rel, a_s, a_e, n_reads=CHUNK_READS, nb=1, reso=reso)
-        ne[base:hi] = np.asarray(C.n_entries_from_max_event(me, cnt, reso))[:span]
+        ne_dev = C.n_entries_from_max_event(me, cnt, reso)
         # clipped profile: start+cutoff events can exceed every end-cutoff
-        ne_cut[base:hi] = np.asarray(
-            C.n_entries_from_max_event(
-                jnp.maximum(me - cut_off, ms + cut_off), cnt, reso)
-        )[:span]
-    return cov, cov_cut, ne, ne_cut
+        ne_cut_dev = C.n_entries_from_max_event(
+            jnp.maximum(me - cut_off, ms + cut_off), cnt, reso)
+        ne[base:hi] = np.asarray(ne_dev)[:span]
+        ne_cut[base:hi] = np.asarray(ne_cut_dev)[:span]
+        chunks.append((base, hi, cov_dev, cov_cut_dev, ne_dev, ne_cut_dev))
+    return _ResidentProfiles(chunks), ne, ne_cut
 
 
 def run_filter(
@@ -193,9 +278,10 @@ def run_filter(
         self_reads = _self_match_reads(part, rs)
         nonself = part.a_id != part.b_id  # self matches excluded from pileups
 
-        cov, cov_cut, ne, ne_cut = _device_profiles(
+        prof, ne, ne_cut = _device_profiles(
             part, nonself, r_begin, n_chunk, nb, reso, f.cut_off
         )
+        cov = prof.cov_np(n_chunk, nb)  # one download; grids stay resident
 
         # ---- coverage estimate (filter.cpp:633-673) ----
         lens = rs.length[r_begin : r_end + 1]
@@ -218,26 +304,14 @@ def run_filter(
         if MIN_COV < cov_est // 3:
             MIN_COV = cov_est // 3
 
-        # ---- masks (filter.cpp:696-789), chunked like the profiles ----
-        reduced = np.maximum(cov_cut - MIN_COV, 0).astype(np.int32)
-        ms = np.zeros(n_chunk, dtype=np.int32)
-        me_ = np.zeros(n_chunk, dtype=np.int32)
-        msc = np.zeros(n_chunk, dtype=np.int32)
-        mec = np.zeros(n_chunk, dtype=np.int32)
-        for base in range(0, n_chunk, CHUNK_READS):
-            hi = min(base + CHUNK_READS, n_chunk)
-            span = hi - base
-            red_pad = np.zeros((CHUNK_READS, reduced.shape[1]), dtype=np.int32)
-            red_pad[:span] = reduced[base:hi]
-            ne_pad = np.zeros(CHUNK_READS, dtype=np.int32)
-            ne_pad[:span] = ne_cut[base:hi]
-            r = [np.asarray(x) for x in C.coverage_mask(
-                jnp.asarray(red_pad), jnp.asarray(ne_pad), reso=reso)]
-            ms[base:hi], me_[base:hi] = r[0][:span], r[1][:span]
-            msc[base:hi], mec[base:hi] = r[2][:span], r[3][:span]
+        # ---- masks (filter.cpp:696-789) over the RESIDENT cut grids ----
+        ms, me_, msc, mec = prof.masks(MIN_COV, n_chunk, reso)
 
-        # telomere flags need start/end coverage of the max run
+        # telomere flags need start/end coverage of the max run (only this
+        # path reads the cutoff grid host-side; downloaded lazily, once)
         if delete_telomere:
+            reduced = np.maximum(
+                prof.cov_cut_np(n_chunk, nb) - MIN_COV, 0).astype(np.int32)
             for ri in range(n_chunk):
                 i = r_begin + ri
                 a, b = int(msc[ri]), int(mec[ri])
@@ -275,30 +349,10 @@ def run_filter(
             else:
                 maskvec[i] = (QV_mask[i, 0], QV_mask[i, 1])
 
-        # ---- repeat annotation (filter.cpp:796-829), chunked ----
-        ann_grid = np.zeros((n_chunk, nb - 1), dtype=np.int8)
-        for base in range(0, n_chunk, CHUNK_READS):
-            hi = min(base + CHUNK_READS, n_chunk)
-            span = hi - base
-            cov_pad = np.zeros((CHUNK_READS, nb), dtype=np.int32)
-            cov_pad[:span] = cov[base:hi]
-            ne_pad = np.zeros(CHUNK_READS, dtype=np.int32)
-            ne_pad[:span] = ne[base:hi]
-            m0 = np.zeros(CHUNK_READS, dtype=np.int32)
-            m1 = np.zeros(CHUNK_READS, dtype=np.int32)
-            m0[:span] = maskvec[r_begin + base : r_begin + hi, 0]
-            m1[:span] = maskvec[r_begin + base : r_begin + hi, 1]
-            ann_grid[base:hi] = np.asarray(
-                C.repeat_annotation_mask(
-                    jnp.asarray(cov_pad), jnp.asarray(ne_pad),
-                    jnp.asarray(m0), jnp.asarray(m1), jnp.int32(MIN_COV),
-                    reso=reso,
-                    coverage_fraction=f.coverage_frac_repeat_annotation,
-                    min_thresh=f.min_repeat_annotation_threshold,
-                    max_thresh=f.max_repeat_annotation_threshold,
-                    no_hinge_region=f.no_hinge_region,
-                )
-            )[:span]
+        # ---- repeat annotation (filter.cpp:796-829), resident grids ----
+        ann_grid = prof.annotation(
+            maskvec[r_begin : r_end + 1, 0], maskvec[r_begin : r_end + 1, 1],
+            MIN_COV, n_chunk, nb, f, reso)
         for ri in range(n_chunk):
             i = r_begin + ri
             nz = np.nonzero(ann_grid[ri])[0]
