@@ -585,3 +585,88 @@ def sharded_top_k_per_pair(ov, k: int, n_shards: int) -> np.ndarray:
         sub = ov.take(np.arange(lo, hi))
         parts.append(top_k_per_pair(sub, k) + lo)
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def run_sharded_wave_align(mesh: Mesh, qs, ts, band_tolerance: int = 150):
+    """Draft-stage window aligner with the window batch sharded over the
+    mesh — pure data parallelism on the batch axis of the DW_banded-exact
+    device wave (ops/wavefront.py): the batch is padded to a multiple of
+    the device count, q/t/m/n land with a NamedSharding over every mesh
+    axis, and GSPMD partitions the forward wave + backtrack per device (no
+    cross-window communication exists, so no collectives are inserted).
+    Rows come back byte-identical to align_exact_batch_device.
+    """
+    import jax
+
+    from hinge_tpu.ops import wavefront as W
+
+    B = len(qs)
+    if B == 0:
+        return []
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    pad = (-B) % n_dev
+    qs_p = list(qs) + [np.zeros(0, np.uint8)] * pad
+    ts_p = list(ts) + [np.zeros(0, np.uint8)] * pad
+    m = np.array([len(q) for q in qs_p], np.int32)
+    n = np.array([len(t) for t in ts_p], np.int32)
+    Lmax = max(1, int(max(m.max(), n.max())))
+    chunk = 16
+    L = -(-(Lmax + chunk) // 128) * 128
+    q = np.full((len(qs_p), L), W._PAD_Q, np.uint8)
+    t = np.full((len(ts_p), L), W._PAD_T, np.uint8)
+    for i in range(len(qs_p)):
+        q[i, : m[i]] = qs_p[i]
+        t[i, : n[i]] = ts_p[i]
+    max_d = max(2, int(0.3 * int((m + n).max())))
+    kb = band_tolerance + 2
+    sh = NamedSharding(mesh, _flat_mesh_spec(mesh))
+    qd = jax.device_put(q, sh)
+    td = jax.device_put(t, sh)
+    md = jax.device_put(m, sh)
+    nd = jax.device_put(n, sh)
+    Vh, minkh, maxkh, aligned, d_fin, k_fin, x_fin = W._wave_forward(
+        qd, td, md, nd, jnp.int32(band_tolerance),
+        max_d=max_d, kb=kb, chunk=chunk,
+    )
+    px, py = W._wave_backtrack(Vh, minkh, maxkh, aligned, d_fin, k_fin,
+                               x_fin, max_d=max_d)
+    px = np.asarray(px)
+    py = np.asarray(py)
+    aligned_h = np.asarray(aligned)
+    npts = 2 * (np.asarray(d_fin) + 1)
+    both_empty = (m == 0) & (n == 0)
+    aligned_h = aligned_h | both_empty
+    npts = np.where(both_empty, 0, npts)
+    rows = W._emit_rows_batch(qs_p, ts_p, px, py, npts, aligned_h)
+    return rows[:B]
+
+
+def run_sharded_falcon_tally(mesh: Mesh, rows: np.ndarray, t_len: int):
+    """The device-shardable half of the falcon consensus vote: per-column
+    coverage tallies of one window's align-tag rows (falcon.c:346-352),
+    rows sharded over the mesh, per-device one-hot count, table psum'd
+    across devices.  The link DP that consumes the tallies is sequential
+    per column (strict `>` tie-break over stream-ordered links,
+    falcon.c:366-520) and stays host-side by design — this covers the
+    O(rows) half that scales with pileup depth.
+    """
+    import jax
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    d0 = rows[rows[:, 1] == 0, 0]
+    d0 = d0[(d0 >= 0) & (d0 < t_len)].astype(np.int32)
+    pad = (-len(d0)) % max(n_dev, 1)
+    d0p = np.concatenate([d0, np.full(pad, -1, np.int32)])
+    sh = NamedSharding(mesh, _flat_mesh_spec(mesh))
+    spec = _flat_mesh_spec(mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=P(),
+    )
+    def tally(d0_local):
+        cov = jnp.zeros(t_len, jnp.int32).at[d0_local].add(
+            (d0_local >= 0).astype(jnp.int32), mode="drop")
+        return jax.lax.psum(cov, tuple(mesh.axis_names))
+
+    return np.asarray(tally(jax.device_put(d0p, sh))).astype(np.int64)

@@ -72,3 +72,43 @@ def test_stage_files_byte_equal_under_sharding(tmp_path):
         assert f1.exists(), f"missing single-device {name}"
         assert f8.exists(), f"missing sharded {name}"
         assert f1.read_bytes() == f8.read_bytes(), f"{name} differs"
+
+
+@pytest.mark.slow
+def test_e2e_assemble_byte_equal_under_sharding(tmp_path):
+    """Full assemble() (fasta -> consensus fasta + gfa) under HINGE_SHARDED=1
+    on the 8-virtual-device mesh, byte-diffed against the single-device run
+    (VERDICT r3 #7)."""
+    p = SimParams(genome_len=60_000, coverage=15.0, mean_read_len=4500,
+                  std_read_len=900, seed=7)
+    genome, reads, rs, ov = simulate(p)
+    fasta = str(tmp_path / "reads.fasta")
+    write_fasta(fasta, ((rs.names[i], rs.get_seq(i))
+                        for i in range(rs.n_reads)))
+
+    outs = {}
+    for tag, sharded in (("single", False), ("mesh8", True)):
+        d = tmp_path / tag
+        d.mkdir()
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+        if sharded:
+            env["HINGE_SHARDED"] = "1"
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_force_host_platform_device_count=8").strip()
+        else:
+            env.pop("HINGE_SHARDED", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "hinge_tpu.cli", "assemble",
+             "--fasta", fasta, "--workdir", str(d)],
+            capture_output=True, text=True, cwd=str(d), timeout=900, env=env,
+        )
+        assert r.returncode == 0, (tag, r.stdout[-1500:], r.stderr[-1500:])
+        outs[tag] = d
+
+    for name in ("asm.consensus.fasta", "asm_consensus.gfa"):
+        b1 = (outs["single"] / name).read_bytes()
+        b8 = (outs["mesh8"] / name).read_bytes()
+        assert b1 == b8, f"{name} differs under sharding"
