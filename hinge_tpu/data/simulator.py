@@ -62,6 +62,17 @@ class SimParams:
     # (genome_start, length, strand) — e.g. guaranteed telomere-spanning
     # long reads for the yeast workload
     extra_reads: Tuple[Tuple[int, int, int], ...] = ()
+    # DALIGNER-statistics noise mode ("daligner"): per-segment diff counts
+    # drawn Binomial(segment_len, noise_diff_rate) into the trace's even
+    # slots (real .las traces carry them; align.h:88-95), record diffs =
+    # their sum, and a chain_split_rate fraction of overlaps emitted as a
+    # same-(A,B) CHAIN of two records separated by a one-segment gap on
+    # both reads — the local-alignment breaks real DALIGNER output contains
+    # (LAInterface.cpp chains same-pair records).  Combine with tspace>125
+    # to exercise the uint16 trace encoding end-to-end.
+    noise_profile: str = ""
+    noise_diff_rate: float = 0.12
+    chain_split_rate: float = 0.08
     # cap on CROSS-end telomere match length (0 = uncapped).  Real telomeric
     # repeats are short/diverged relative to aln_threshold, so cross-
     # chromosome matches fragment below the layout length filter — which is
@@ -266,6 +277,7 @@ def exact_overlaps(
         )
     }
     trace_chunks: List[np.ndarray] = []
+    noise_rng = np.random.default_rng((p.seed, 0xDA11))
     seg_lists = [_segments(r) for r in reads]
     big = 1 << 60
     # (shift, window) specs: B genome positions g map to A frame as g+shift,
@@ -349,9 +361,10 @@ def exact_overlaps(
                 if yield_overlap is None:
                     continue
                 rec, tr = yield_overlap
-                for k, v in rec.items():
-                    cols[k].append(v)
-                trace_chunks.append(tr)
+                for rec2, tr2 in _apply_noise(rec, tr, p, noise_rng):
+                    for k, v in rec2.items():
+                        cols[k].append(v)
+                    trace_chunks.append(tr2)
 
     trace = (
         np.concatenate(trace_chunks) if trace_chunks else np.zeros(0, dtype=np.uint16)
@@ -360,6 +373,64 @@ def exact_overlaps(
         tspace=p.tspace, trace=trace, **{k: np.asarray(v, dtype=np.int64).astype(INT) if len(v) else np.zeros(0, INT) for k, v in cols.items()}
     )
     return store.sort_by_a()
+
+
+def _seg_bounds(a_start: int, a_end: int, tsp: int) -> np.ndarray:
+    """DALIGNER trace boundaries: a_start, interior tspace multiples, a_end."""
+    first = (a_start // tsp + 1) * tsp
+    return np.concatenate([
+        [a_start], np.arange(first, a_end, tsp, dtype=np.int64), [a_end]])
+
+
+def _apply_noise(rec, tr, p, rng):
+    """DALIGNER-statistics noise post-pass (SimParams.noise_profile).
+
+    Fills per-segment diff counts into the trace's even slots (real traces
+    are (diffs, disp) pairs; align.h:88-95) with diffs ~ Binomial(seg_len,
+    noise_diff_rate), sets the record's summed diffs, and with probability
+    chain_split_rate splits the overlap into a same-(A,B) two-record chain
+    with a one-trace-segment gap on both reads — the shape of real chained
+    DALIGNER output.  Returns a list of (rec, trace) to emit.
+    """
+    if p.noise_profile != "daligner":
+        return [(rec, tr)]
+    tsp = p.tspace
+    npairs = rec["tlen"] // 2
+    bounds = _seg_bounds(rec["a_start"], rec["a_end"], tsp)
+    seg_len = np.diff(bounds)
+    assert len(seg_len) == npairs, (len(seg_len), npairs)
+    disp = tr[1::2].astype(np.int64)
+
+    def finish(r, d_slice, s_lens):
+        diffs = rng.binomial(s_lens, p.noise_diff_rate).astype(np.uint16)
+        t = np.zeros(2 * len(d_slice), np.uint16)
+        t[0::2] = diffs
+        t[1::2] = d_slice
+        r = dict(r)
+        r["diffs"] = int(diffs.sum())
+        r["tlen"] = 2 * len(d_slice)
+        return r, t
+
+    if npairs >= 3 and rng.random() < p.chain_split_rate:
+        m = int(rng.integers(1, npairs - 1))  # segment m becomes the gap
+        a1_span = int(bounds[m] - rec["a_start"])
+        a2_span = int(rec["a_end"] - bounds[m + 1])
+        if a1_span >= 2 * tsp and a2_span >= 2 * tsp:
+            cum = np.concatenate([[0], np.cumsum(disp)])
+            if rec["rc"] == 0:
+                W = rec["b_start"] + cum
+            else:
+                W = rec["b_end"] - cum
+            r1 = dict(rec, a_end=int(bounds[m]),
+                      b_start=int(min(W[0], W[m])),
+                      b_end=int(max(W[0], W[m])))
+            r2 = dict(rec, a_start=int(bounds[m + 1]),
+                      b_start=int(min(W[m + 1], W[npairs])),
+                      b_end=int(max(W[m + 1], W[npairs])))
+            return [finish(r1, disp[:m].astype(np.uint16), seg_len[:m]),
+                    finish(r2, disp[m + 1:].astype(np.uint16),
+                           seg_len[m + 1:])]
+    return [finish(rec, tr[1::2], seg_len)]
 
 
 def _make_overlap(reads, i, j, gm_a, gm_b, sa0, sa1, sb0, sb1, g0, g1, sh, p):

@@ -35,6 +35,18 @@ BACKWARD = 1
 ACOVERB = 2
 BCOVERA = 3
 UNDEFINED = 4
+
+#: Reference quirk: LOverlap::trim_overlap (LAInterface.cpp:4583-4589) and
+#: GetMatchingPosition (:4523-4529) walk the trace lattice on a HARDCODED
+#: 100-base grid — `% 100`, `ceil(x/100.0)*100`, `+= 100` — regardless of
+#: the .las file's actual trace spacing.  At tspace > 100 the walk
+#: misaligns with the stored displacements and trim/classification degrade
+#: exactly as the reference's do (pinned at tspace=150 by
+#: tests/test_reference_parity.py profile 92).  Every trim/classify/
+#: matching-position call site must pass this, NOT ov.tspace; only trace
+#: RECOVERY (recoverAlignment -> Compute_Trace_PTS, ops/dalign_trace.py)
+#: uses the true spacing.
+TRIM_GRID = 100
 INTERNAL = 5
 NOT_ACTIVE = 6
 FORWARD_INTERNAL = 12

@@ -205,7 +205,9 @@ def process_alignments(
 
     native = None
     if trim:
-        native = _native_trim(sub, ears, eare, ebrs, ebre, ov.tspace)
+        # CL.TRIM_GRID, not ov.tspace: the reference trims on a hardcoded
+        # 100-base lattice whatever the file's trace spacing is
+        native = _native_trim(sub, ears, eare, ebrs, ebre, CL.TRIM_GRID)
     if native is not None:
         eams, eame, ebms, ebme, act = native
     elif trim:
@@ -219,7 +221,7 @@ def process_alignments(
                 jnp.asarray(ears), jnp.asarray(eare), jnp.asarray(ebrs), jnp.asarray(ebre),
                 jnp.asarray(tw.npairs), jnp.asarray(tw.pair_off),
                 jnp.asarray(tw.cum), jnp.asarray(seg_id), jnp.asarray(k_local),
-                tspace=ov.tspace,
+                tspace=CL.TRIM_GRID,
             )
         )
     else:

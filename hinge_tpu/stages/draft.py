@@ -88,14 +88,29 @@ def parse_edges_list(path_or_lines) -> List[Tuple[str, List[list], bool, bool, i
 
 def _find_overlap_row(ov: OverlapStore, row_lists: Dict[int, np.ndarray], a: int, b: int, w: int) -> Optional[int]:
     """First las-order row with a_id==a, b_id==b, summed raw match len == w
-    (draft.cpp:163-177)."""
+    (draft.cpp:163-177).
+
+    Divergence by necessity: when the pair's alignment is a same-(A,B)
+    CHAIN of records (real DALIGNER output contains these), hinging sums
+    every record's length into the hinge-graph edge weight, so no single
+    record matches and the reference draft binary exit(1)s
+    (draft.cpp:263-274 — pinned by tests/test_reference_parity.py on the
+    noisy profiles).  hinge_tpu instead falls back to the pair's LONGEST
+    record: the chain's backbone piece, which positions read B exactly like
+    an unchained overlap would locally."""
     rows = row_lists.get(a)
     if rows is None:
         return None
+    best = None
+    best_len = -1
     for r in rows:
-        if int(ov.b_id[r]) == b and int(ov.match_len()[r]) == w:
-            return int(r)
-    return None
+        if int(ov.b_id[r]) == b:
+            ml = int(ov.match_len()[r])
+            if ml == w:
+                return int(r)
+            if ml > best_len:
+                best, best_len = int(r), ml
+    return best
 
 
 def _row_item_for_edge(ov: OverlapStore, rs: ReadStore, row: int):

@@ -291,7 +291,7 @@ def run_layout(
             pos_b = run_sharded_matching_position(
                 ov_rows.astype(np.int32), pos_a,
                 sub.a_start, sub.a_end, sub.b_start, sub.b_end, sub.rc,
-                tw, mesh, tspace=sub.tspace)
+                tw, mesh, tspace=CL.TRIM_GRID)
         else:
             pos_b = np.asarray(
                 CL.matching_position(
@@ -299,7 +299,7 @@ def run_layout(
                     jnp.asarray(sub.a_start), jnp.asarray(sub.a_end),
                     jnp.asarray(sub.b_start), jnp.asarray(sub.b_end), jnp.asarray(sub.rc),
                     jnp.asarray(tw.npairs), jnp.asarray(tw.pair_off), jnp.asarray(tw.cum),
-                    tspace=sub.tspace,
+                    tspace=CL.TRIM_GRID,  # reference hardcodes the 100 grid
                 )
             )
         slack = lay.matching_hinge_slack
