@@ -467,6 +467,14 @@ def cmd_assemble(args):
             print(f"[timing] {name}: {dt:.2f}s")
 
 
+def cmd_sweep(args):
+    """Accuracy sweep: the NCTC-batch-report equivalent on the simulator."""
+    from hinge_tpu.utils.sweep import run_sweep
+
+    run_sweep(genome_len=args.genome_len, seed=args.seed,
+              out_prefix=args.out)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="hinge-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -660,6 +668,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--timings", action="store_true",
                     help="print per-stage wall times at the end")
     sp.set_defaults(func=cmd_assemble)
+
+    sp = sub.add_parser(
+        "sweep", help="accuracy sweep over simulated genomes (repeat "
+        "structure x coverage x read length) -> JSON+markdown report")
+    sp.add_argument("--genome-len", type=int, default=400_000)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", default="accuracy_sweep",
+                    help="output prefix (<out>.json, <out>.md)")
+    sp.set_defaults(func=cmd_sweep)
 
     args = ap.parse_args(argv)
     args.func(args)

@@ -144,3 +144,26 @@ def test_cli_clip_nanopore(dataset):
                   "--out", "X"], tmp)
     _run_cli(["clip-nanopore", "X.edges.hinges", "X.hinge.list", "np"], tmp)
     assert os.path.exists(os.path.join(tmp, "Xnp.G2.graphml"))
+
+
+def test_hinge_dispatcher(tmp_path):
+    """bin/hinge maps the reference's verb surface (src/hinge:8-58) onto
+    the CLI: unknown verbs exit 1 with the hinge(1) pointer, known verbs
+    dispatch (checked via --help exit 0 for every mapped verb)."""
+    import subprocess
+    import sys
+
+    hinge = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "hinge")
+    r = subprocess.run([sys.executable, hinge], capture_output=True, text=True)
+    assert r.returncode == 1 and "hinge(1)" in r.stderr
+    r = subprocess.run([sys.executable, hinge, "no-such-verb"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    for verb in ("filter", "maximal", "layout", "clip", "clip-nanopore",
+                 "draft-path", "draft", "correct-head", "consensus",
+                 "fasta2q", "gfa", "visualize", "visualise", "condense",
+                 "split_las"):
+        r = subprocess.run([sys.executable, hinge, verb, "--help"],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, (verb, r.stderr[-400:])
