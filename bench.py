@@ -361,12 +361,41 @@ def _e2e(timeout_s):
     return out
 
 
+def comms_model(n_devices: int, reads_chunk: int, nb: int, rec_axis=None):
+    """Analytic per-step collective volume of sharded_filter_step (bytes
+    MOVED per device, ring-collective accounting): the psum'd pileup grids
+    and record stats ride the 'recs' axis, the mask all_gather rides
+    'reads'.  This is the documented model a reader can check against the
+    kernel (parallel/sharding.py:97-180); the measured numbers below are
+    records/s at honest device counts."""
+    if rec_axis is None:
+        rec_axis = 2 if n_devices % 2 == 0 and n_devices > 2 else 1
+    R = n_devices // rec_axis
+    S = rec_axis
+    b = 0
+    # psum over 'recs': 2 grids (reads_chunk x nb int32) + 3 stat vectors
+    if S > 1:
+        ring = 2 * (S - 1) / S  # ring all-reduce traffic factor
+        b += ring * (2 * reads_chunk * nb + 3 * reads_chunk) * 4
+    # all_gather masks over 'reads': (reads_chunk, 2) int32 per device
+    if R > 1:
+        b += (R - 1) * reads_chunk * 2 * 4
+    return int(b)
+
+
 def _scaling(budget_left):
+    """records/s of the sharded filter step at 1 vs 2 virtual devices.
+
+    This 2-vCPU host cannot honestly run more than 2 devices — an 8-device
+    mesh here measures core oversubscription, not scaling (the r3 number
+    recorded exactly that).  So: measure 1 and 2 devices (<= physical
+    cores), report per-device throughput, and pair it with the analytic
+    collective-volume model so multi-chip projections are checkable."""
     if os.environ.get("HINGE_BENCH_SCALING", "1") == "0":
         return None
     curve = {}
     t_end = time.perf_counter() + budget_left
-    for n in (1, 8):
+    for n in (1, 2):
         per_point = t_end - time.perf_counter()
         if per_point < 30:
             break
@@ -384,10 +413,28 @@ def _scaling(budget_left):
             curve[str(n)] = round(out["rps"])
     if not curve:
         return None
-    res = {"records_per_s": curve, "host_vcpus": os.cpu_count(),
-           "mesh": "virtual CPU ('reads','recs')"}
-    if "1" in curve and "8" in curve and curve["1"]:
-        res["speedup_8x"] = round(curve["8"] / curve["1"], 2)
+    nb = MAXLEN // RESO + 3
+    res = {
+        "records_per_s": curve,
+        "records_per_s_per_device": {
+            k: round(v / int(k)) for k, v in curve.items()},
+        "host_vcpus": os.cpu_count(),
+        "mesh": "virtual CPU ('reads','recs'), device count <= physical cores",
+        "comms_model_bytes_per_step_per_device": {
+            str(n): comms_model(n, reads_chunk=N_READS, nb=nb)
+            for n in (1, 2, 8, 64)},
+        "note": ("2-vCPU host: >2 virtual devices measures core "
+                 "oversubscription, not scaling, and the XLA CPU backend "
+                 "already multi-threads a single device across the cores — "
+                 "so same-host device-splitting shows ~1.0x by construction. "
+                 "The believable multi-chip signal is the comms model: "
+                 "collective bytes/step/device vs ICI (~10^11 B/s per v5e "
+                 "link) gives sub-ms collective time against a ~ms-scale "
+                 "step, i.e. the filter step stays compute-bound on real "
+                 "meshes"),
+    }
+    if "1" in curve and "2" in curve and curve["1"]:
+        res["speedup_2x"] = round(curve["2"] / curve["1"], 2)
     return res
 
 
@@ -461,8 +508,8 @@ def main():
     if e2e is not None:
         primary["e2e_wall_s"] = e2e.get("wall_s")
         primary["e2e_backend"] = e2e.get("backend")
-    if scaling is not None and "speedup_8x" in scaling:
-        primary["scaling_speedup_8x"] = scaling["speedup_8x"]
+    if scaling is not None and "speedup_2x" in scaling:
+        primary["scaling_speedup_2x"] = scaling["speedup_2x"]
     # LAST stdout line = the same compact primary object (tail-parse safe)
     print(json.dumps(primary), flush=True)
 
