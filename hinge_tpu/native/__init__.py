@@ -79,7 +79,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "dalign_diffs_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int
-        for fn in ("containment_sweep", "consensus_vote_batch"):
+        for fn in ("containment_sweep", "consensus_vote_batch",
+                   "falcon_tags_batch"):
             if hasattr(lib, fn):
                 getattr(lib, fn).restype = c.c_int64
         for fn in ("umap_iter_order", "stdsort_desc_perm",

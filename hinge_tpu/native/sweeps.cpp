@@ -83,6 +83,52 @@ extern "C" int64_t trim_overlaps_batch(
     return 0;
 }
 
+// falcon_tags_batch: get_align_tags over a batch of aligned row pairs
+// (reference: falcon.c:69-130) — one scalar pass per row, emitting int32
+// (t_pos, delta, p_t_pos, p_delta, p_q_base, q_base) tag tuples with the
+// exact emission filter (j+t_offset >= 0 && jj < 255 && p_jj < 255) and
+// predecessor chaining.  sentinel=1 prepends the virtual 'T'/'T' column
+// draft.cpp:652-659 adds before tagging.  Bit-identical to the Python
+// scalar oracle (_get_align_tags_scalar), which tests cross-pin.
+extern "C" int64_t falcon_tags_batch(
+    const uint8_t* q, const uint8_t* t, const int64_t* row_off,
+    const int64_t* t_offsets, int64_t n_rows, int32_t sentinel,
+    int32_t* out, int64_t* out_cnt)
+{
+    const uint8_t GAP = 4;
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t o = row_off[r];
+        const int64_t L = row_off[r + 1] - o;
+        const int64_t toff = t_offsets[r];
+        int64_t j = -1, jj = 0, p_j = -1, p_jj = 0;
+        int32_t p_qb = 5;
+        int64_t n = 0;
+        for (int64_t k = sentinel ? -1 : 0; k < L; ++k) {
+            const uint8_t qb = (k < 0) ? 3 : q[o + k];
+            const uint8_t tb = (k < 0) ? 3 : t[o + k];
+            if (qb != GAP) jj++;
+            if (tb != GAP) { j++; jj = 0; }
+            if (j + toff >= 0 && jj < 255 && p_jj < 255) {
+                int32_t* row = out + 6 * (w + n);
+                row[0] = (int32_t)(j + toff);
+                row[1] = (int32_t)jj;
+                row[2] = (int32_t)(p_j + toff);
+                row[3] = (int32_t)p_jj;
+                row[4] = p_qb;
+                row[5] = qb;
+                p_j = j;
+                p_jj = jj;
+                p_qb = qb;
+                n++;
+            }
+        }
+        out_cnt[r] = n;
+        w += n;
+    }
+    return w;
+}
+
 // consensus_vote_batch: the consensus column-vote accumulation
 // (reference: src/consensus/consensus.cpp:162-230 walk + chop_end :28-45).
 // One scalar pass per alignment row over its columns; votes land directly

@@ -98,6 +98,58 @@ def _get_align_tags_scalar(
     return out[:n]
 
 
+def get_align_tags_batch(rows_q, rows_t, sentinel: bool = True):
+    """Batched get_align_tags over many aligned row pairs via the native C
+    pass (native/sweeps.cpp::falcon_tags_batch); per-row numpy/scalar
+    fallback without the toolchain.  sentinel=True prepends the virtual
+    'T'/'T' column (draft.cpp:652-659) to every pair.  Returns a list of
+    (L_i, 6) int32 arrays, bit-identical to calling get_align_tags on each
+    (sentinel-prepended) pair."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    n = len(rows_q)
+    if n == 0:
+        return []
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "falcon_tags_batch"):
+        out = []
+        for q, t in zip(rows_q, rows_t):
+            if sentinel:
+                q = np.concatenate([[np.uint8(3)], q])
+                t = np.concatenate([[np.uint8(3)], t])
+            out.append(get_align_tags(q, t, 0, 0))
+        return out
+    row_off = np.zeros(n + 1, np.int64)
+    for i, q in enumerate(rows_q):
+        row_off[i + 1] = row_off[i] + len(q)
+    fq = (np.concatenate(rows_q) if row_off[-1] else np.zeros(0, np.uint8))
+    ft = (np.concatenate(rows_t) if row_off[-1] else np.zeros(0, np.uint8))
+    fq = np.ascontiguousarray(fq, np.uint8)
+    ft = np.ascontiguousarray(ft, np.uint8)
+    toff = np.zeros(n, np.int64)
+    cap = int(row_off[-1]) + (n if sentinel else 0)
+    flat = np.empty((max(cap, 1), 6), np.int32)
+    cnt = np.zeros(n, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.falcon_tags_batch(
+        fq.ctypes.data_as(u8p), ft.ctypes.data_as(u8p),
+        row_off.ctypes.data_as(i64p), toff.ctypes.data_as(i64p),
+        ctypes.c_int64(n), ctypes.c_int32(1 if sentinel else 0),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cnt.ctypes.data_as(i64p),
+    )
+    out = []
+    pos = 0
+    for i in range(n):
+        out.append(flat[pos : pos + int(cnt[i])])
+        pos += int(cnt[i])
+    assert pos == total
+    return out
+
+
 def get_cns_from_align_tags(
     tag_seqs: List[np.ndarray], t_len: int, min_cov: int
 ) -> Tuple[np.ndarray, np.ndarray]:

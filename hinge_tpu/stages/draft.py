@@ -395,28 +395,35 @@ def draft_assembly_ctg(
         zip(pair_owner, pair_rows)
     )
 
-    # FALCON vote: gather every multi-segment ladder's tags, then one batched
-    # consensus call (native C core over all windows; falcon.c:270-520)
-    win_tags: List[np.ndarray] = []
-    win_tlen: List[int] = []
-    win_of: List[int] = []
+    # FALCON vote: one batched tag pass over EVERY ladder row (native C,
+    # incl. the sentinel column draft.cpp:652-659 prepends), then one
+    # batched consensus call (native C core over all windows;
+    # falcon.c:270-520).  The per-row Python tag loop was ~25% of the draft
+    # stage wall at 4.6Mb (49k calls).
+    win_rows: List[Tuple[int, int]] = []  # (ladder, n_rows) per window
+    rows_q: List[np.ndarray] = []
+    rows_t: List[np.ndarray] = []
     for li, ladder in enumerate(ladders):
         if len(ladder) <= 1:
             continue
-        mx = templates[li]
-        t_rd, t_s, t_e = ladder[mx]
-        tags_list = []
         for j in range(len(ladder)):
             qrow, trow = rows_of[(li, j)]
-            # sentinel column (draft.cpp:652-659: 'T' prepended to both rows)
-            qrow = np.concatenate([[np.uint8(3)], qrow])
-            trow = np.concatenate([[np.uint8(3)], trow])
-            tags_list.append(FV.get_align_tags(qrow, trow, j, 0))
+            rows_q.append(qrow)
+            rows_t.append(trow)
+        win_rows.append((li, len(ladder)))
+    all_tags = FV.get_align_tags_batch(rows_q, rows_t, sentinel=True)
+    win_tags: List[np.ndarray] = []
+    win_tlen: List[int] = []
+    win_of: List[int] = []
+    pos = 0
+    for li, n_rows in win_rows:
+        t_rd, t_s, t_e = ladder_span = ladders[li][templates[li]]
         win_tags.append(
-            np.concatenate(tags_list) if tags_list else np.zeros((0, 6), np.int32)
-        )
+            np.concatenate(all_tags[pos : pos + n_rows])
+            if n_rows else np.zeros((0, 6), np.int32))
         win_tlen.append((t_e - t_s) + 1)
         win_of.append(li)
+        pos += n_rows
     cns_results = FV.get_cns_batch(win_tags, win_tlen, [1] * len(win_tags))
     cns_of = dict(zip(win_of, cns_results))
 

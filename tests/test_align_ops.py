@@ -258,3 +258,26 @@ class TestNativeMyersBatch:
             qr_p, tr_p = align_full(q, t)
             np.testing.assert_array_equal(qr_n, qr_p)
             np.testing.assert_array_equal(tr_n, tr_p)
+
+
+def test_falcon_tags_batch_matches_per_row():
+    """Native falcon_tags_batch vs per-row get_align_tags (sentinel
+    prepended), incl. delta>=255 drop rows that force the scalar path."""
+    from hinge_tpu.ops.falcon_vote import get_align_tags, get_align_tags_batch
+
+    rng = np.random.default_rng(6)
+    rows_q, rows_t = [], []
+    for i in range(60):
+        L = int(rng.choice([0, 5, 80, 400, 1200]))
+        q = rng.integers(0, 5, L).astype(np.uint8)
+        t = rng.integers(0, 5, L).astype(np.uint8)
+        if i % 7 == 0 and L > 600:
+            t[100:500] = 4  # 400 consecutive template gaps -> delta > 255
+        rows_q.append(q)
+        rows_t.append(t)
+    got = get_align_tags_batch(rows_q, rows_t, sentinel=True)
+    for g, q, t in zip(got, rows_q, rows_t):
+        qs = np.concatenate([[np.uint8(3)], q])
+        ts = np.concatenate([[np.uint8(3)], t])
+        ref = get_align_tags(qs, ts, 0, 0)
+        np.testing.assert_array_equal(np.asarray(g), ref)
