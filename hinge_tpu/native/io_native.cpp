@@ -396,21 +396,57 @@ int64_t index_sort_filter(uint64_t* hash, uint64_t* packed, int64_t n,
   uint64_t* ps = packed;
   uint64_t* hd = h2.data();
   uint64_t* pd = p2.data();
-  std::vector<int64_t> count(1 << 16);
+  // split radix: each thread counts and scatters its own input half with
+  // per-thread bucket bases (thread 0's elements precede thread 1's in
+  // every bucket), so the pass stays STABLE and bit-identical to the
+  // single-thread order while both cores stream memory
+  unsigned hw = std::thread::hardware_concurrency();
+  const int nt = (hw >= 2 && n > (1 << 20)) ? 2 : 1;
+  std::vector<std::vector<int64_t>> counts(
+      static_cast<size_t>(nt), std::vector<int64_t>(1 << 16));
+  const int64_t half = n / nt;
   for (int pass = 0; pass < 4; pass++) {
     const int shift = 16 * pass;
-    std::fill(count.begin(), count.end(), 0);
-    for (int64_t i = 0; i < n; i++) count[(hs[i] >> shift) & 0xFFFF]++;
-    int64_t acc = 0;
-    for (int64_t b = 0; b < (1 << 16); b++) {
-      const int64_t c = count[static_cast<size_t>(b)];
-      count[static_cast<size_t>(b)] = acc;
-      acc += c;
-    }
-    for (int64_t i = 0; i < n; i++) {
-      const int64_t d = count[(hs[i] >> shift) & 0xFFFF]++;
-      hd[d] = hs[i];
-      pd[d] = ps[i];
+    auto count_part = [&](int t) {
+      auto& cnt = counts[static_cast<size_t>(t)];
+      std::fill(cnt.begin(), cnt.end(), 0);
+      const int64_t lo = t * half, hi = (t == nt - 1) ? n : (t + 1) * half;
+      for (int64_t i = lo; i < hi; i++) cnt[(hs[i] >> shift) & 0xFFFF]++;
+    };
+    auto scatter_part = [&](int t) {
+      auto& cnt = counts[static_cast<size_t>(t)];
+      const int64_t lo = t * half, hi = (t == nt - 1) ? n : (t + 1) * half;
+      for (int64_t i = lo; i < hi; i++) {
+        const int64_t d = cnt[(hs[i] >> shift) & 0xFFFF]++;
+        hd[d] = hs[i];
+        pd[d] = ps[i];
+      }
+    };
+    if (nt == 1) {
+      count_part(0);
+      int64_t acc = 0;
+      auto& cnt = counts[0];
+      for (int64_t b = 0; b < (1 << 16); b++) {
+        const int64_t c = cnt[static_cast<size_t>(b)];
+        cnt[static_cast<size_t>(b)] = acc;
+        acc += c;
+      }
+      scatter_part(0);
+    } else {
+      std::thread th(count_part, 1);
+      count_part(0);
+      th.join();
+      int64_t acc = 0;
+      for (int64_t b = 0; b < (1 << 16); b++) {
+        for (int t = 0; t < nt; t++) {
+          const int64_t c = counts[static_cast<size_t>(t)][static_cast<size_t>(b)];
+          counts[static_cast<size_t>(t)][static_cast<size_t>(b)] = acc;
+          acc += c;
+        }
+      }
+      std::thread th2(scatter_part, 1);
+      scatter_part(0);
+      th2.join();
     }
     std::swap(hs, hd);
     std::swap(ps, pd);
