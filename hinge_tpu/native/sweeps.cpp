@@ -83,6 +83,35 @@ extern "C" int64_t trim_overlaps_batch(
     return 0;
 }
 
+// format_coverage_lines: the X.coverage.txt body (filter.cpp:599-602 —
+// "read <i> <pos>,<cov> <pos>,<cov> ...\n" per read).  Formatting 3.5M
+// cells through Python f-strings cost ~2s of the filter stage; one
+// snprintf pass here is ~50ms.  Returns bytes written, or -1 when cap is
+// too small (caller retries with a larger buffer).
+#include <cstdio>
+
+extern "C" int64_t format_coverage_lines(
+    const int32_t* cov, const int32_t* ne, int64_t n_reads, int64_t nb,
+    int32_t reso, int64_t r_begin, char* out, int64_t cap)
+{
+    int64_t w = 0;
+    for (int64_t i = 0; i < n_reads; ++i) {
+        if (cap - w < 32) return -1;
+        w += snprintf(out + w, (size_t)(cap - w), "read %lld ",
+                      (long long)(r_begin + i));
+        const int64_t n = ne[i] < nb ? ne[i] : nb;
+        const int32_t* row = cov + i * nb;
+        for (int64_t j = 0; j < n; ++j) {
+            if (cap - w < 32) return -1;
+            w += snprintf(out + w, (size_t)(cap - w), "%lld,%d ",
+                          (long long)(j * reso), row[j]);
+        }
+        if (cap - w < 2) return -1;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // falcon_tags_batch: get_align_tags over a batch of aligned row pairs
 // (reference: falcon.c:69-130) — one scalar pass per row, emitting int32
 // (t_pos, delta, p_t_pos, p_delta, p_q_base, q_base) tag tuples with the
