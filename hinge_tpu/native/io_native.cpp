@@ -567,6 +567,7 @@ static void chain_read_range(
 
   static const bool kProf = getenv("HINGE_NATIVE_PROF") != nullptr;
   double t_lookup = 0, t_eval = 0, t_emit = 0;
+  int64_t n_lookups = 0, n_hits = 0;
   auto now = []{ return std::chrono::duration<double>(std::chrono::steady_clock::now().time_since_epoch()).count(); };
   for (int64_t r = r0; r < r1; r++) {
     double tA = kProf ? now() : 0;
@@ -588,6 +589,7 @@ static void chain_read_range(
           __builtin_prefetch(idx_packed + p4);
         }
         const uint64_t h = qh[i];
+        if (kProf) n_lookups++;
         const uint64_t b = h >> pre_shift;
         const uint64_t* lo =
             std::lower_bound(idx_hash + pre[b], idx_hash + pre[b + 1], h);
@@ -600,6 +602,7 @@ static void chain_read_range(
           const uint64_t tid = packed >> 40;
           if (tid < min_tid) continue;
           const int64_t tpos = static_cast<int64_t>(packed & kMask40);
+          if (kProf) n_hits++;
           const uint64_t band =
               static_cast<uint64_t>(tpos - qp + (1LL << 30)) /
               static_cast<uint32_t>(band_width);
@@ -694,7 +697,7 @@ static void chain_read_range(
     if (kProf) t_emit += now() - tC;
   }
   if (kProf)
-    fprintf(stderr, "chain[%ld,%ld): lookup %.2fs eval %.2fs emit %.2fs\n", (long)r0, (long)r1, t_lookup, t_eval, t_emit);
+    fprintf(stderr, "chain[%ld,%ld): lookup %.2fs eval %.2fs emit %.2fs lookups %lld hits %lld\n", (long)r0, (long)r1, t_lookup, t_eval, t_emit, (long long)n_lookups, (long long)n_hits);
 }
 
 // Returns n_groups (>= 0) or -1 if an output capacity was exceeded (caller
