@@ -26,6 +26,31 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for CLI stage processes.
+
+    Every `hinge <stage>` invocation is a fresh interpreter; without a
+    cache each pays ~3-5s re-compiling the same device kernels (the
+    reference binaries pay 0).  Cache lives in ~/.cache/hinge_tpu/jax
+    (HINGE_JAX_CACHE overrides the path, HINGE_JAX_CACHE=0 disables).
+    Safe to call before or after backend selection; failures are ignored
+    (first-compile behavior is just restored)."""
+    loc = os.environ.get("HINGE_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache", "hinge_tpu", "jax")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
+
+
 def _load_reads(args) -> "ReadStore":
     from hinge_tpu.io.dazz_db import read_db
     from hinge_tpu.io.fasta import read_fasta
@@ -476,6 +501,7 @@ def cmd_sweep(args):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="hinge-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
