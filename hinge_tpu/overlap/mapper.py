@@ -247,8 +247,37 @@ def map_reads_to_targets(
 
     half_pairs: all-vs-all mode where queries ARE the targets — keep only
     hits with tid >= global rid, halving the hit table (the (j,i) twin of
-    every record is synthesized downstream by overlap_reads)."""
-    index = build_index(targets, k, w)
+    every record is synthesized downstream by overlap_reads).  In this mode
+    the minimizers are computed ONCE for all reads (both strands); the
+    forward streams double as the index input and the per-block query
+    slices come from the same arrays (the index build previously re-ran
+    the whole minimizer pass over identical sequences)."""
+    pre = None  # (qp_all, qh_all, counts_all) in half_pairs mode
+    if half_pairs and rs.bases is not None:
+        got = _minimizers_batch(rs.bases, rs.bases_off, k, w,
+                                both_strands=True)
+        if got is not None:
+            qp_all, qh_all, counts_all = got
+            # the batch returns pooled scratch views; copy once so the
+            # index AND every block outlive later pool reuse
+            pre = (qp_all.copy(), qh_all.copy(), counts_all.copy())
+    if pre is not None:
+        index = _index_from_minimizers(targets, pre, k, w)
+    else:
+        index = build_index(targets, k, w)
+    if index is None:
+        index = build_index(targets, k, w)
+
+    def block_slice(lo, hi):
+        if pre is None:
+            return None
+        qp_all, qh_all, counts_all = pre
+        s0, s1 = 2 * lo, 2 * hi
+        off = np.zeros(len(counts_all) + 1, np.int64)
+        np.cumsum(counts_all, out=off[1:])
+        return (qp_all[off[s0] : off[s1]], qh_all[off[s0] : off[s1]],
+                counts_all[s0:s1])
+
     if rs.n_reads > query_block:
         stores = []
         for lo in range(0, rs.n_reads, query_block):
@@ -260,13 +289,15 @@ def map_reads_to_targets(
             )
             part = _map_block(index, targets, sub, k, w, min_span, min_hits,
                               band_width, tspace, rid_base=lo,
-                              half_pairs=half_pairs)
+                              half_pairs=half_pairs,
+                              pre_minimizers=block_slice(lo, hi))
             stores.append(part)
         out = _concat(stores, tspace)
     else:
         out = _map_block(index, targets, rs, k, w, min_span, min_hits,
                          band_width, tspace, rid_base=0,
-                         half_pairs=half_pairs)
+                         half_pairs=half_pairs,
+                         pre_minimizers=block_slice(0, rs.n_reads))
     if not half_pairs:
         # fill true per-window diffs: DALIGNER consumers size wave arrays
         # from them (see dalign_trace.fill_window_diffs); interpolated
@@ -292,6 +323,42 @@ def _concat(stores: List[OverlapStore], tspace: int) -> OverlapStore:
     return OverlapStore(trace=trace, tspace=tspace, **cols).sort_by_a()
 
 
+def _index_from_minimizers(targets, pre, k: int, w: int,
+                           max_bucket: int = 64) -> Optional[MapperIndex]:
+    """Index built from precomputed both-strands minimizer streams (the
+    FORWARD stream of each read is exactly what build_index would compute);
+    bit-identical to build_index on the same targets."""
+    import ctypes
+
+    from hinge_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "index_sort_filter"):
+        return None
+    qp_all, qh_all, counts_all = pre
+    n = len(targets)
+    off = np.zeros(len(counts_all) + 1, np.int64)
+    np.cumsum(counts_all, out=off[1:])
+    fwd = np.arange(0, 2 * n, 2)
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    hashes = np.concatenate([qh_all[off[s] : off[s + 1]] for s in fwd])
+    tids = np.repeat(np.arange(n, dtype=np.uint64), counts_all[fwd])
+    pos = np.concatenate([qp_all[off[s] : off[s + 1]] for s in fwd])
+    packed = np.ascontiguousarray(
+        (tids << np.uint64(40)) | pos.astype(np.uint64))
+    hashes = np.ascontiguousarray(hashes)
+    c = ctypes
+    n2 = lib.index_sort_filter(
+        hashes.ctypes.data_as(c.POINTER(c.c_uint64)),
+        packed.ctypes.data_as(c.POINTER(c.c_uint64)),
+        c.c_int64(len(hashes)), c.c_int64(max_bucket),
+    )
+    if n2 < 0:
+        return None
+    return MapperIndex(k=k, w=w, hashes=hashes[:n2], packed=packed[:n2],
+                       t_len=lens)
+
+
 def _map_block(
     index: MapperIndex,
     targets: List[np.ndarray],
@@ -304,14 +371,18 @@ def _map_block(
     tspace: int,
     rid_base: int = 0,
     half_pairs: bool = False,
+    pre_minimizers=None,
 ) -> OverlapStore:
     n_targets = len(targets)
 
-    # ---- 1. all query minimizers (batched native path, per-read fallback) ----
-    got = (
-        _minimizers_batch(rs.bases, rs.bases_off, k, w, both_strands=True)
-        if rs.bases is not None else None
-    )
+    # ---- 1. all query minimizers (precomputed slice in the all-vs-all
+    # path, batched native otherwise, per-read fallback) ----
+    got = pre_minimizers
+    if got is None:
+        got = (
+            _minimizers_batch(rs.bases, rs.bases_off, k, w, both_strands=True)
+            if rs.bases is not None else None
+        )
     qr = qs = None  # only needed by the numpy join fallback; built lazily
     if got is not None:
         qp, qh, counts = got
