@@ -85,7 +85,10 @@ def prepare(workdir):
 
 
 def run_arm(workdir, pin_env, timeout_s=1200):
-    env = dict(os.environ, PYTHONPATH=_HERE, **pin_env)
+    # APPEND to PYTHONPATH: the ambient path carries the TPU platform
+    # plugin (sitecustomize); replacing it silently drops the device
+    env = dict(os.environ, **pin_env)
+    env["PYTHONPATH"] = _HERE + os.pathsep + env.get("PYTHONPATH", "")
     code = _CHILD.format(repo=_HERE, workdir=workdir,
                          cache=os.path.join(_HERE, ".jax_cache"))
     try:
