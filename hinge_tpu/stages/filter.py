@@ -231,6 +231,26 @@ def run_filter(
     has_qv: Optional[bool] = None,
     collect_coverage_txt: bool = False,
 ) -> FilterResult:
+    # the filter stage moves grid-sized tensors; on a degraded accelerator
+    # link its unchanged kernels run on the CPU backend instead
+    # (utils/device_health.py — bit-identical outputs either way)
+    from hinge_tpu.utils.device_health import compute_context
+
+    with compute_context():
+        return _run_filter_body(
+            rs, parts, cfg, out_prefix, reads_to_keep, has_qv,
+            collect_coverage_txt)
+
+
+def _run_filter_body(
+    rs: ReadStore,
+    parts: Sequence[OverlapStore],
+    cfg: Config,
+    out_prefix: Optional[str],
+    reads_to_keep: Optional[Set[int]],
+    has_qv: Optional[bool],
+    collect_coverage_txt: bool,
+) -> FilterResult:
     f = cfg.filter
     reso = f.reso
     n_read = rs.n_reads

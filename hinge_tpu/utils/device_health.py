@@ -1,0 +1,88 @@
+"""Accelerator-link health guard.
+
+The single TPU here is reached through a shared-pool tunnel whose
+device<->host transfer rate intermittently collapses by ~100-1000x (a
+51MB coverage-grid download measured 1s on a healthy claim and ~5 minutes
+on a degraded one, while compute-light/small-transfer stages stayed
+usable).  Stages that move grid-sized tensors guard themselves with
+`best_compute_device()`: one cheap probe per process — dispatch a tiny
+jitted op, poll `Array.is_ready()` under a wall budget (never a blocking
+sync on a possibly-wedged claim), then time a small fetch — and when the
+link is degraded they run their UNCHANGED jax kernels on the CPU backend
+via `jax.default_device`, bit-identical results.
+
+HINGE_DEVICE_HEALTH=1/0 forces healthy/degraded; the verdict is cached
+for the process (the probe costs ~0.3s healthy).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+_VERDICT: Optional[bool] = None
+
+#: execution-readiness budget; a healthy claim answers in <<1s
+PROBE_BUDGET_S = 5.0
+#: minimum acceptable fetch rate for the 256KB probe (bytes/s) — the
+#: healthy tunnel does ~50MB/s, the degraded one <0.25MB/s
+MIN_FETCH_BPS = 1e6
+_PROBE_BYTES = 1 << 18
+
+
+def device_transfer_ok() -> bool:
+    """True when the default backend's transfer path looks healthy (always
+    True on CPU).  One probe per process."""
+    global _VERDICT
+    if _VERDICT is not None:
+        return _VERDICT
+    forced = os.environ.get("HINGE_DEVICE_HEALTH", "")
+    if forced in ("0", "1"):
+        _VERDICT = forced == "1"
+        return _VERDICT
+    import jax
+
+    if jax.default_backend() == "cpu":
+        _VERDICT = True
+        return True
+    try:
+        x = jax.device_put(np.zeros(_PROBE_BYTES // 4, np.int32))
+        y = jax.jit(lambda a: a * 2 + 1)(x)
+        t0 = time.monotonic()
+        while not y.is_ready():
+            if time.monotonic() - t0 > PROBE_BUDGET_S:
+                _VERDICT = False
+                return False
+            time.sleep(0.02)
+        t0 = time.monotonic()
+        np.asarray(y)
+        dt = max(time.monotonic() - t0, 1e-9)
+        _VERDICT = (_PROBE_BYTES / dt) >= MIN_FETCH_BPS
+    except Exception:
+        _VERDICT = False
+    return _VERDICT
+
+
+def best_compute_device():
+    """The device grid-heavy stages should pin as jax.default_device:
+    None (use the default) when healthy, else the first CPU device."""
+    if device_transfer_ok():
+        return None
+    import jax
+
+    return jax.local_devices(backend="cpu")[0]
+
+
+def compute_context():
+    """Context manager for a stage body: default device or CPU fallback."""
+    import contextlib
+
+    import jax
+
+    dev = best_compute_device()
+    if dev is None:
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
