@@ -48,21 +48,35 @@ def device_transfer_ok() -> bool:
     if jax.default_backend() == "cpu":
         _VERDICT = True
         return True
-    try:
-        x = jax.device_put(np.zeros(_PROBE_BYTES // 4, np.int32))
-        y = jax.jit(lambda a: a * 2 + 1)(x)
-        t0 = time.monotonic()
-        while not y.is_ready():
-            if time.monotonic() - t0 > PROBE_BUDGET_S:
-                _VERDICT = False
-                return False
-            time.sleep(0.02)
-        t0 = time.monotonic()
-        np.asarray(y)
-        dt = max(time.monotonic() - t0, 1e-9)
-        _VERDICT = (_PROBE_BYTES / dt) >= MIN_FETCH_BPS
-    except Exception:
-        _VERDICT = False
+
+    # the ENTIRE probe (upload, compile, execute, fetch) runs in a daemon
+    # thread joined with a wall budget: on a degraded claim ANY of those
+    # steps can block for minutes (including the first-ever compile of the
+    # probe program on the remote compiler), and the main thread must never
+    # wait on them.  A timed-out probe thread is abandoned (daemon).
+    import threading
+
+    result = {}
+
+    def _probe():
+        try:
+            # compile-free round trip: jit would drag the REMOTE compiler
+            # into the probe (its first-ever compile blocks for minutes on
+            # a degraded claim); a raw upload+fetch exercises exactly the
+            # transport whose collapse we are guarding against
+            x = jax.device_put(np.zeros(_PROBE_BYTES // 4, np.int32))
+            jax.block_until_ready(x)
+            t0 = time.monotonic()
+            np.asarray(x)
+            dt = max(time.monotonic() - t0, 1e-9)
+            result["ok"] = (_PROBE_BYTES / dt) >= MIN_FETCH_BPS
+        except Exception:
+            result["ok"] = False
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(PROBE_BUDGET_S)
+    _VERDICT = bool(result.get("ok", False))
     return _VERDICT
 
 
