@@ -478,7 +478,14 @@ def _align_ladder_pairs(pair_q, pair_t, band):
         try:
             import jax as _jax
 
-            use_pallas = _jax.default_backend() == "tpu"
+            # Pallas default on TPU is justified by the whole-stage A/B
+            # (bench_draft_ab.py: 9.2s vs 9.8s C at 4.6Mb on the v5e) —
+            # but only while the device LINK is healthy; the C path is
+            # host-resident and immune to tunnel degradation
+            from hinge_tpu.utils.device_health import device_transfer_ok
+
+            use_pallas = (_jax.default_backend() == "tpu"
+                          and device_transfer_ok())
         except Exception:
             use_pallas = False
     if use_pallas:
