@@ -458,12 +458,29 @@ def main():
     a_id, a_start, a_end, read_len = synth()
     base_rps, base_dt = bench_numpy_baseline(a_id, a_start, a_end, read_len)
 
-    rps, backend = _device_bench(timeout_s=max(60, min(0.7 * budget, left())))
+    # compile-free link-health probe first: when the shared-pool tunnel is
+    # degraded the device bench would burn most of the budget timing out —
+    # skip straight to the CPU fallback and leave budget for e2e/scaling
+    probe = _child(
+        _CACHE_PRELUDE
+        + "import json\n"
+        "from hinge_tpu.utils.device_health import device_transfer_ok\n"
+        "print('BENCH_HEALTH ' + json.dumps({'ok': device_transfer_ok()}))\n",
+        60, "BENCH_HEALTH",
+    )
+    link_ok = bool(probe and probe.get("ok"))
+
+    rps, backend = (
+        _device_bench(timeout_s=max(60, min(0.7 * budget, left())))
+        if link_ok else (None, None)
+    )
     if rps is None:
         # TPU unreachable (wedged tunnel): measure on the CPU backend in a
         # clean interpreter (no axon registration at startup)
         rps, _ = _device_bench(timeout_s=max(60, min(240, left())), force_cpu=True)
         backend = "cpu-fallback" if rps is not None else "unavailable"
+        if backend == "cpu-fallback" and not link_ok:
+            backend = "cpu-fallback(degraded-link)"
         rps = rps or 0.0
 
     primary = {
