@@ -76,8 +76,49 @@ def device_transfer_ok() -> bool:
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
     th.join(PROBE_BUDGET_S)
+    if th.is_alive():
+        _arm_exit_guard(th)
     _VERDICT = bool(result.get("ok", False))
     return _VERDICT
+
+
+_EXIT_CODE = [0]
+_GUARD_ARMED = False
+
+
+def _arm_exit_guard(th):
+    """A probe thread stuck inside a native transfer cannot be cancelled;
+    letting the interpreter tear down C++ state under it raises
+    `FATAL: exception not rethrown` / SIGABRT at exit.  When the verdict
+    timed out, exit via os._exit AFTER flushing stdio — the process has
+    already produced its outputs; skipping native teardown is the only
+    clean way out.  Uncaught exceptions still exit nonzero (excepthook
+    records the code)."""
+    global _GUARD_ARMED
+    if _GUARD_ARMED:
+        return
+    _GUARD_ARMED = True
+    import atexit
+    import sys
+
+    prev_hook = sys.excepthook
+
+    def _hook(tp, val, tb):
+        _EXIT_CODE[0] = 1
+        prev_hook(tp, val, tb)
+
+    sys.excepthook = _hook
+
+    def _guard():
+        if th.is_alive():
+            try:
+                sys.stdout.flush()
+                sys.stderr.flush()
+            except Exception:
+                pass
+            os._exit(_EXIT_CODE[0])
+
+    atexit.register(_guard)
 
 
 def best_compute_device():
