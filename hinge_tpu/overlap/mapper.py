@@ -234,7 +234,8 @@ def map_reads_to_targets(
     targets: List[np.ndarray],
     rs: ReadStore,
     k: int = 15,
-    w: int = 10,
+    w: int = 12,  # matches overlap_reads so the per-ReadStore minimizer
+                  # cache is shared across the overlap and map stages
     min_span: int = 1000,
     min_hits: int = 4,
     band_width: int = 500,
@@ -252,19 +253,31 @@ def map_reads_to_targets(
     forward streams double as the index input and the per-block query
     slices come from the same arrays (the index build previously re-ran
     the whole minimizer pass over identical sequences)."""
-    pre = None  # (qp_all, qh_all, counts_all) in half_pairs mode
-    if half_pairs and rs.bases is not None:
-        got = _minimizers_batch(rs.bases, rs.bases_off, k, w,
-                                both_strands=True)
-        if got is not None:
-            qp_all, qh_all, counts_all = got
-            # the batch returns pooled scratch views; copy once so the
-            # index AND every block outlive later pool reuse
-            pre = (qp_all.copy(), qh_all.copy(), counts_all.copy())
-    if pre is not None:
+    # whole-run query minimizers, cached ON the ReadStore so later stages
+    # over the same reads (overlap -> map in assemble()) never recompute
+    # them; pooled scratch views are copied once so the cache, the index,
+    # and every block outlive later pool reuse
+    pre = None  # (qp_all, qh_all, counts_all)
+    if rs.bases is not None:
+        cache = getattr(rs, "_minimizer_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                rs._minimizer_cache = cache
+            except Exception:
+                pass
+        pre = cache.get((k, w))
+        if pre is None:
+            got = _minimizers_batch(rs.bases, rs.bases_off, k, w,
+                                    both_strands=True)
+            if got is not None:
+                qp_all, qh_all, counts_all = got
+                pre = (qp_all.copy(), qh_all.copy(), counts_all.copy())
+                cache[(k, w)] = pre
+    index = None
+    if half_pairs and pre is not None:
+        # all-vs-all: the forward streams double as the index input
         index = _index_from_minimizers(targets, pre, k, w)
-    else:
-        index = build_index(targets, k, w)
     if index is None:
         index = build_index(targets, k, w)
 
