@@ -1,11 +1,14 @@
 """Benchmark: the BASELINE.md north-star metrics, driver-survivable.
 
-Primary metric — overlap-pileup records/s/chip over the FULL filter-stage
-device scope (filter.cpp:585-1070): pileup coverage x2 + n_entries + masks
-+ repeat annotation (the round-1 chain) PLUS the trim/classify lattice
-(LAInterface.cpp:4552-4683, :4721-4806 — the per-pair work filter/maximal
-do on the deduped top matches) and the hinge-calling kernel
-(filter.cpp:838-1070, ops/hinge_call.py).  vs_baseline compares against a
+Primary metric — overlap-pileup records/s/chip over the filter stage's
+ACTUAL device scope (filter.cpp:585-1070): pileup coverage x2 + n_entries
++ masks + repeat annotation + the hinge-calling kernel (filter.cpp:838-
+1070, ops/hinge_call.py).  The trim/classify lattice left this chain in
+r4: production routes it through the one-pass native C trace walk
+(native/sweeps.cpp::trim_overlaps_batch, measured 20x the device
+round-trip on this rig), so timing the device lattice here would measure
+a path the pipeline no longer dispatches — the lattice kernels stay
+exercised by the mesh/sharded suite.  vs_baseline compares against a
 vectorized-numpy implementation of the coverage core standing in for the
 reference's scalar C++ event loops (conservative: the numpy baseline is
 itself vectorized; it runs on this host's 2 vCPUs).
@@ -113,7 +116,6 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
     import jax.numpy as jnp
 
     from hinge_tpu.ops import coverage as C
-    from hinge_tpu.ops import classify as CL
     from hinge_tpu.ops.hinge_call import _hinge_kernel
 
     nb = MAXLEN // RESO + 3
@@ -126,11 +128,10 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
     # intermediate glue (n_entries, maximum, sums) dispatches eagerly on
     # device, so the timing still covers the full filter inner loop.
     @jax.jit
-    def _finish(cov, ms, mev, ann, types, active, bridged, support):
+    def _finish(cov, ms, mev, ann, bridged, support):
         return (cov.sum(), ms, mev, ann.astype(jnp.int32).sum(),
-                types.sum(), active.sum(), bridged.sum(), support.sum())
+                bridged.sum(), support.sum())
 
-    cl = {k: jnp.asarray(v) for k, v in synth_classify().items()}
     hg = {k: jnp.asarray(v) for k, v in synth_hinge().items()}
 
     def step(a_id, a_start, a_end):
@@ -152,25 +153,13 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
             reso=RESO, coverage_fraction=3, min_thresh=10, max_thresh=20,
             no_hinge_region=500,
         )
-        # trim/classify lattice over the deduped top pairs
-        ams_, ame_, bms_, bme_, active = CL.trim_overlaps(
-            cl["a_start"], cl["a_end"], cl["b_start"], cl["b_end"], cl["rc"],
-            cl["eff_a0"], cl["eff_a1"], cl["eff_b0"], cl["eff_b1"],
-            cl["npairs"], cl["pair_off"], cl["cum"], cl["seg_id"], cl["k_local"],
-            tspace=TSPACE,
-        )
-        types = CL.add_types_asymmetric(
-            ams_, ame_, bms_, bme_,
-            cl["eff_a0"], cl["eff_a1"], cl["eff_b0"], cl["eff_b1"],
-            cl["rc"], jnp.int32(300), jnp.int32(-300),
-        )
         # hinge calling (bridged/unbridged scan) per (read, annotation) task
         bridged, support = _hinge_kernel(
             hg["pos_a"], hg["grad"], hg["m0"], hg["m1"], hg["rid"],
             hg["ams"], hg["ame"], hg["lov"], hg["rov"], hg["valid"],
             theta=300, htl=300, hbl=200, hrut=6, hbpt=7,
         )
-        return _finish(cov, ms, mev, ann, types, active, bridged, support)
+        return _finish(cov, ms, mev, ann, bridged, support)
 
     args = (jnp.asarray(a_id), jnp.asarray(a_start), jnp.asarray(a_end))
     out = step(*args)  # compile
@@ -489,7 +478,7 @@ def main():
         "unit": "records/s",
         "vs_baseline": round(rps / base_rps, 2),
         "backend": backend,
-        "chain": "coverage+masks+annotation+trim/classify+hinge_call",
+        "chain": "coverage+masks+annotation+hinge_call (trim/classify is native-C in production)",
     }
     rec = _recorded()
     # full-scale TPU e2e wall from the recorded head-to-head, kept compact
