@@ -34,14 +34,12 @@ import numpy as np
 
 N_READS = 16_384
 N_OV = 2_000_000
-N_PAIRS = 250_000     # deduped top-match pairs fed to trim/classify
 N_TASKS = 2_048       # (read, annotation) hinge-calling tasks
 PILEUP_W = 128        # padded pileup width per hinge task
 MAXLEN = 30_000
 RESO = 40
 CUT_OFF = 300
 MIN_COV = 5
-TSPACE = 100
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -55,42 +53,6 @@ def synth(seed=0):
     a_start = lo.astype(np.int32)
     a_end = np.minimum(lo + span, read_len[a_id]).astype(np.int32)
     return a_id, a_start, a_end, read_len
-
-
-def synth_classify(seed=1):
-    """Trace-lattice batch for trim_overlaps/add_types (top-pair scale)."""
-    rng = np.random.default_rng(seed)
-    a_len = rng.integers(MAXLEN // 2, MAXLEN, N_PAIRS).astype(np.int32)
-    a_start = rng.integers(0, MAXLEN // 4, N_PAIRS).astype(np.int32)
-    span = rng.integers(1000, MAXLEN // 2, N_PAIRS)
-    a_end = np.minimum(a_start + span, a_len - 1).astype(np.int32)
-    npairs = ((a_end - 1) // TSPACE - a_start // TSPACE + 1).astype(np.int32)
-    pair_off = np.zeros(N_PAIRS, np.int64)
-    np.cumsum(npairs[:-1], out=pair_off[1:])
-    total = int(npairs.sum())
-    disp = rng.integers(TSPACE // 2, 3 * TSPACE // 2, total).astype(np.int32)
-    csum = np.cumsum(disp, dtype=np.int64)
-    seg_base = csum[pair_off] - disp[pair_off]
-    cum = (csum - np.repeat(seg_base, npairs)).astype(np.int32)
-    b_span = cum[pair_off + npairs - 1]
-    b_start = rng.integers(0, 2000, N_PAIRS).astype(np.int32)
-    b_end = (b_start + b_span).astype(np.int32)
-    b_len = (b_end + rng.integers(0, 2000, N_PAIRS)).astype(np.int32)
-    rc = rng.integers(0, 2, N_PAIRS).astype(np.int32)
-    seg_id = np.repeat(np.arange(N_PAIRS, dtype=np.int32), npairs + 1)
-    k_local = np.arange(total + N_PAIRS, dtype=np.int64)
-    pt_off = pair_off + np.arange(N_PAIRS, dtype=np.int64)
-    k_local -= np.repeat(pt_off, npairs + 1)
-    eff_a0 = (a_len // 20).astype(np.int32)
-    eff_a1 = (a_len - a_len // 20).astype(np.int32)
-    eff_b0 = (b_len // 20).astype(np.int32)
-    eff_b1 = (b_len - b_len // 20).astype(np.int32)
-    return dict(
-        a_start=a_start, a_end=a_end, b_start=b_start, b_end=b_end, rc=rc,
-        eff_a0=eff_a0, eff_a1=eff_a1, eff_b0=eff_b0, eff_b1=eff_b1,
-        npairs=npairs, pair_off=pair_off, cum=cum,
-        seg_id=seg_id, k_local=k_local.astype(np.int32),
-    )
 
 
 def synth_hinge(seed=2):

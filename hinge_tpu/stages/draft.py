@@ -103,14 +103,21 @@ def _find_overlap_row(ov: OverlapStore, row_lists: Dict[int, np.ndarray], a: int
         return None
     best = None
     best_len = -1
+    n_pair = 0
     for r in rows:
         if int(ov.b_id[r]) == b:
             ml = int(ov.match_len()[r])
             if ml == w:
                 return int(r)
+            n_pair += 1
             if ml > best_len:
                 best, best_len = int(r), ml
-    return best
+    # fall back ONLY on the chained-pair signature: the pair has MULTIPLE
+    # records, none matching the summed edge weight (the weight includes
+    # the chain's gap segments, so no linear check can reconstruct it).  A
+    # single-record mismatch — e.g. an edges.list from different overlaps —
+    # keeps the reference's skip behavior.
+    return best if n_pair >= 2 else None
 
 
 def _row_item_for_edge(ov: OverlapStore, rs: ReadStore, row: int):

@@ -43,27 +43,25 @@ def device_transfer_ok() -> bool:
     if forced in ("0", "1"):
         _VERDICT = forced == "1"
         return _VERDICT
-    import jax
-
-    if jax.default_backend() == "cpu":
-        _VERDICT = True
-        return True
-
-    # the ENTIRE probe (upload, compile, execute, fetch) runs in a daemon
-    # thread joined with a wall budget: on a degraded claim ANY of those
-    # steps can block for minutes (including the first-ever compile of the
-    # probe program on the remote compiler), and the main thread must never
-    # wait on them.  A timed-out probe thread is abandoned (daemon).
+    # the ENTIRE probe — backend/client initialization (which can itself
+    # wedge on a dead claim), upload, and fetch — runs in a daemon thread
+    # joined with a wall budget; the main thread never waits on the claim.
+    # Compile-free by design: a jit would drag the REMOTE compiler into the
+    # probe (its first-ever compile blocks for minutes on a degraded
+    # claim); a raw upload+fetch exercises exactly the transport whose
+    # collapse we are guarding against.  A timed-out thread is abandoned
+    # (daemon) and an exit guard avoids native teardown under it.
     import threading
 
     result = {}
 
     def _probe():
         try:
-            # compile-free round trip: jit would drag the REMOTE compiler
-            # into the probe (its first-ever compile blocks for minutes on
-            # a degraded claim); a raw upload+fetch exercises exactly the
-            # transport whose collapse we are guarding against
+            import jax
+
+            if jax.default_backend() == "cpu":
+                result["ok"] = True
+                return
             x = jax.device_put(np.zeros(_PROBE_BYTES // 4, np.int32))
             jax.block_until_ready(x)
             t0 = time.monotonic()
@@ -92,8 +90,11 @@ def _arm_exit_guard(th):
     `FATAL: exception not rethrown` / SIGABRT at exit.  When the verdict
     timed out, exit via os._exit AFTER flushing stdio — the process has
     already produced its outputs; skipping native teardown is the only
-    clean way out.  Uncaught exceptions still exit nonzero (excepthook
-    records the code)."""
+    clean way out.  Exit codes survive the guard: sys.exit() is wrapped to
+    record its code (covers argparse errors and CLI failure paths) and
+    uncaught exceptions record 1 (130 for KeyboardInterrupt) via
+    excepthook; a bare `raise SystemExit(n)` that never passes through
+    sys.exit is the one uncovered path."""
     global _GUARD_ARMED
     if _GUARD_ARMED:
         return
@@ -104,10 +105,24 @@ def _arm_exit_guard(th):
     prev_hook = sys.excepthook
 
     def _hook(tp, val, tb):
-        _EXIT_CODE[0] = 1
+        _EXIT_CODE[0] = 130 if tp is KeyboardInterrupt else 1
         prev_hook(tp, val, tb)
 
     sys.excepthook = _hook
+    prev_exit = sys.exit
+
+    def _exit(code=None):
+        if isinstance(code, bool):
+            _EXIT_CODE[0] = int(code)
+        elif isinstance(code, int):
+            _EXIT_CODE[0] = code
+        elif code is None:
+            _EXIT_CODE[0] = 0
+        else:  # message-style sys.exit("...") => failure, like CPython
+            _EXIT_CODE[0] = 1
+        prev_exit(code)
+
+    sys.exit = _exit
 
     def _guard():
         if th.is_alive():

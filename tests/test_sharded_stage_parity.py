@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import pytest
 
 from hinge_tpu.data.simulator import SimParams, simulate
@@ -29,7 +31,7 @@ def _run_stages(tmp, fasta, las, sharded: bool):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if sharded:
         env["HINGE_SHARDED"] = "1"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
@@ -93,7 +95,7 @@ def test_e2e_assemble_byte_equal_under_sharding(tmp_path):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         if sharded:
             env["HINGE_SHARDED"] = "1"
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
