@@ -146,7 +146,10 @@ def get_align_tags_batch(rows_q, rows_t, sentinel: bool = True):
     for i in range(n):
         out.append(flat[pos : pos + int(cnt[i])])
         pos += int(cnt[i])
-    assert pos == total
+    if pos != total:
+        # buffer-overrun symptom in the native pass; must survive python -O
+        raise RuntimeError(
+            f"falcon_tags_batch row counts ({pos}) != total tags ({total})")
     return out
 
 

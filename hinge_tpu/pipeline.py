@@ -33,11 +33,17 @@ def assemble(
     prefix: str = "asm",
     log=print,
     trace_dir: str = "",
+    overlap_w: int = 12,
 ) -> dict:
     """norevcomp=True runs the single-strand consensus flow
     (scripts/pipeline_consensus_norevcomp.py:40-97): the draft keeps only one
     strand of each contig pair (draft-path emits contig + revcomp adjacently)
     and the polished output is X.norevcomp_consensus.fasta.
+
+    overlap_w sets the built-in overlapper's minimizer window (fasta-only
+    pipelines; r4 changed the default 8 -> 12 for ~2x less seed-hit work at
+    ~0.05% record difference — pass overlap_w=8 to reproduce pre-r4
+    outputs byte-for-byte).
 
     trace_dir, when set, wraps the run in a JAX profiler trace
     (Perfetto/TensorBoard) — the observability upgrade over the reference's
@@ -64,12 +70,12 @@ def assemble(
     with jax_trace(trace_dir):
         return _assemble_body(
             fasta, paf, db, las, workdir, nanopore, norevcomp, p, cfg, log,
-            stage_timer,
+            stage_timer, overlap_w,
         )
 
 
 def _assemble_body(fasta, paf, db, las, workdir, nanopore, norevcomp, p, cfg,
-                   log, stage_timer) -> dict:
+                   log, stage_timer, overlap_w=12) -> dict:
     from hinge_tpu.data.overlaps import str_to_codes
     from hinge_tpu.io.fasta import correct_head, read_fasta
     from hinge_tpu.io.las import read_las
@@ -103,7 +109,7 @@ def _assemble_body(fasta, paf, db, las, workdir, nanopore, norevcomp, p, cfg,
 
         t_ovl = time.time()
         with stage_timer("overlap"):
-            parts = [overlap_reads(rs)]
+            parts = [overlap_reads(rs, w=overlap_w)]
         log(f"[assemble] built-in overlapper: {parts[0].n} overlaps "
             f"({time.time()-t_ovl:.1f}s)")
     has_db = bool(las) or not paf

@@ -119,6 +119,8 @@ class _ResidentProfiles:
 
     def annotation(self, m0, m1, min_cov, n_chunk, nb, f, reso):
         """repeat_annotation_mask over the resident base grids."""
+        from hinge_tpu.utils.device_health import timed_fetch
+
         ann = np.zeros((n_chunk, nb - 1), np.int8)
         for base, hi, cov_dev, _, ne_dev, _ in self.chunks:
             span = hi - base
@@ -126,7 +128,7 @@ class _ResidentProfiles:
             m1p = np.zeros(CHUNK_READS, np.int32)
             m0p[:span] = m0[base:hi]
             m1p[:span] = m1[base:hi]
-            ann[base:hi] = np.asarray(
+            ann[base:hi] = timed_fetch(
                 C.repeat_annotation_mask(
                     cov_dev, ne_dev, jnp.asarray(m0p), jnp.asarray(m1p),
                     jnp.int32(min_cov), reso=reso,
@@ -142,18 +144,22 @@ class _ResidentProfiles:
         """The base coverage grid, downloaded once (coverage.txt lines,
         hinge gating, coverage estimation)."""
         if self._cov_np is None:
+            from hinge_tpu.utils.device_health import timed_fetch
+
             out = np.zeros((n_chunk, nb), np.int32)
             for base, hi, cov_dev, _, _, _ in self.chunks:
-                out[base:hi] = np.asarray(cov_dev)[: hi - base]
+                out[base:hi] = timed_fetch(cov_dev)[: hi - base]
             self._cov_np = out
         return self._cov_np
 
     def cov_cut_np(self, n_chunk, nb):
         """The cutoff grid, downloaded once (telomere flag sums only)."""
         if self._cov_cut_np is None:
+            from hinge_tpu.utils.device_health import timed_fetch
+
             out = np.zeros((n_chunk, nb), np.int32)
             for base, hi, _, cov_cut_dev, _, _ in self.chunks:
-                out[base:hi] = np.asarray(cov_cut_dev)[: hi - base]
+                out[base:hi] = timed_fetch(cov_cut_dev)[: hi - base]
             self._cov_cut_np = out
         return self._cov_cut_np
 
