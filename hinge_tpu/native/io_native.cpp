@@ -896,25 +896,30 @@ int64_t emit_records(const int32_t* row, const int32_t* q, const int32_t* t,
                                 ? T1
                                 : (T0 / tspace + j) * tspace;
           while (jh + 1 < n && a[jh + 1].t <= b) jh++;
-          double ba;
+          // INTEGER-EXACT interpolation (round-half-even of the exact
+          // rational q[jh] + (b-t[jh])*dy/denom).  Replaces the r1-r4
+          // double evaluation so the TPU device-join path — where IEEE
+          // binary64 is not reliably available — can reproduce records
+          // bit-for-bit across backends by construction.  All quantities
+          // are non-negative (b >= t[jh] by the jh walk; q ascending).
+          int64_t bv;
           if (j == 0) {
-            ba = static_cast<double>(Q0);
+            bv = Q0;
           } else if (j == nbg - 1) {
-            ba = static_cast<double>(Q1);
+            bv = Q1;
+          } else if (jh >= n - 1) {
+            bv = a[jh].q;
           } else {
-            const bool has_next = jh < n - 1;
-            const int64_t denom =
-                has_next ? std::max<int64_t>(a[jh + 1].t - a[jh].t, 1) : 1;
-            const double frac =
-                has_next ? static_cast<double>(b - a[jh].t) /
-                               static_cast<double>(denom)
-                         : 0.0;
-            const double dy =
-                has_next ? static_cast<double>(a[jh + 1].q - a[jh].q) : 0.0;
-            ba = static_cast<double>(a[jh].q) + frac * dy;
+            const int64_t denom = std::max<int64_t>(a[jh + 1].t - a[jh].t, 1);
+            const int64_t num =
+                static_cast<int64_t>(a[jh].q) * denom +
+                (b - a[jh].t) * static_cast<int64_t>(a[jh + 1].q - a[jh].q);
+            int64_t qd = num / denom;
+            const int64_t r2 = 2 * (num - qd * denom);
+            if (r2 > denom || (r2 == denom && (qd & 1))) qd++;
+            bv = qd;
           }
-          bar[static_cast<size_t>(j)] =
-              static_cast<int64_t>(std::nearbyint(ba));
+          bar[static_cast<size_t>(j)] = bv;
         }
         uint16_t* tr = trace + toff[static_cast<size_t>(g)];
         int64_t dsum = 0;

@@ -686,21 +686,24 @@ def _emit_records(row_of, tq, tt, g_rid, g_strand, g_tid, rs, index,
     bounds = (T0a[row_b] // tspace + jj2) * tspace
     bounds = np.where(jj2 == 0, T0a[row_b],
                       np.where(jj2 == last_j, T1a[row_b], bounds))
-    # segmented np.interp of bounds against each group's (tt, tq) anchors:
-    # one global searchsorted on the group-offset keys (j = last anchor <= q,
-    # same interval choice as np.interp's binary search, incl. duplicate x)
+    # segmented interpolation of bounds against each group's (tt, tq)
+    # anchors: one global searchsorted on the group-offset keys (j = last
+    # anchor <= q, incl. duplicate x).  INTEGER-EXACT round-half-even of
+    # the exact rational (matches native emit_records and the device join
+    # bit-for-bit — no float rounding in the trace lattice anywhere).
     jh = np.searchsorted(tt_s + row_s * LARGE,
                          bounds + acc[row_b] * LARGE, side="right") - 1
     ge_b = gend[acc][row_b]
     x0v, y0v = tt_s[jh], tq_s[jh]
     has_next = jh < ge_b
     jn = np.minimum(jh + 1, ge_b)
-    denom = tt_s[jn] - x0v
-    frac = np.where(has_next, (bounds - x0v) / np.maximum(denom, 1), 0.0)
-    ba = y0v + frac * (tq_s[jn] - y0v)
-    ba = np.where(jj2 == 0, Q0a[row_b].astype(np.float64),
-                  np.where(jj2 == last_j, Q1a[row_b].astype(np.float64), ba))
-    bar = np.round(ba).astype(np.int64)
+    denom = np.maximum(tt_s[jn] - x0v, 1)
+    num = y0v * denom + np.where(has_next, (bounds - x0v) * (tq_s[jn] - y0v), 0)
+    qd = num // denom
+    r2 = 2 * (num - qd * denom)
+    qd += ((r2 > denom) | ((r2 == denom) & (qd & 1 == 1))).astype(np.int64)
+    bar = np.where(jj2 == 0, Q0a[row_b],
+                   np.where(jj2 == last_j, Q1a[row_b], qd)).astype(np.int64)
     # per-group displacement diffs (mask out cross-group positions)
     disp_flat = np.clip(bar[1:] - bar[:-1], 0, 65534)
     valid_d = row_b[1:] == row_b[:-1]
