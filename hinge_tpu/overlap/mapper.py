@@ -253,6 +253,21 @@ def map_reads_to_targets(
     forward streams double as the index input and the per-block query
     slices come from the same arrays (the index build previously re-ran
     the whole minimizer pass over identical sequences)."""
+    # TPU path: the whole join chain runs on the accelerator when the
+    # backend + link allow it (device_join.py) — records bit-identical to
+    # the native C path below, which stays the CPU default, the
+    # degraded-link fallback, and the parity oracle
+    if half_pairs and rs.bases is not None:
+        from hinge_tpu.native import get_lib
+        from hinge_tpu.overlap import device_join
+
+        if get_lib() is not None and device_join.device_join_available():
+            dev = device_join.overlap_base_records(
+                rs, k=k, w=w, min_span=min_span, min_hits=min_hits,
+                band_width=band_width, tspace=tspace)
+            if dev is not None:
+                return dev
+
     # whole-run query minimizers, cached ON the ReadStore so later stages
     # over the same reads (overlap -> map in assemble()) never recompute
     # them; pooled scratch views are copied once so the cache, the index,
