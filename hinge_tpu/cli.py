@@ -497,7 +497,7 @@ def cmd_sweep(args):
     from hinge_tpu.utils.sweep import run_sweep
 
     run_sweep(genome_len=args.genome_len, seed=args.seed,
-              out_prefix=args.out)
+              out_prefix=args.out, ref_parity=not args.no_ref_parity)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -702,6 +702,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", default="accuracy_sweep",
                     help="output prefix (<out>.json, <out>.md)")
+    sp.add_argument("--no-ref-parity", action="store_true",
+                    help="skip the per-profile reference-binary parity "
+                    "column (needs the refbuild toolchain)")
     sp.set_defaults(func=cmd_sweep)
 
     args = ap.parse_args(argv)
