@@ -140,6 +140,60 @@ def bench_device(a_id, a_start, a_end, read_len, iters=10):
     return N_OV / dt, dt
 
 
+#: v5e HBM bandwidth (bytes/s) — the public spec figure (819 GB/s); the
+#: pileup chain is scatter/scan shaped with zero matmuls, so HBM is the
+#: only relevant ceiling (MXU/FLOP rooflines do not apply).
+V5E_HBM_BPS = 819e9
+
+
+def sol_account(n_ov=N_OV, n_reads=N_READS, nb=None, n_tasks=N_TASKS,
+                pileup_w=PILEUP_W):
+    """Speed-of-light account for the benchmark's device chain
+    (BASELINE.md metric 1: 'speed-of-light pileup inner loop per chip').
+
+    Counts the bytes each kernel MUST move through HBM per benchmark
+    iteration, assuming perfect fusion of elementwise work into its
+    producing pass (credit the hardware with the best possible schedule —
+    that is what makes the ceiling a ceiling):
+
+      * profile_coverage x2: read the 3 record columns (12B/rec), scatter
+        +1/-1 into the grid (2 read-modify-write int32 = 16B/rec), then
+        one read+write cumsum pass over the (reads x nb) grid.
+      * pileup_stats: record columns + 3 segment-reduce RMWs/record.
+      * n_entries / masks / annotation: per-read vectors are negligible;
+        the mask + annotation kernels each make one read pass over a
+        grid (annotation reads both grids and writes an int8 mask).
+      * hinge_call: n_tasks x pileup_w int32 columns, ~5 arrays.
+      * final reductions: one read pass over the base grid.
+
+    Returns the per-record byte count, the implied speed-of-light
+    records/s on the v5e, and the component breakdown (so a reader can
+    re-derive every term from the kernel shapes)."""
+    if nb is None:
+        nb = MAXLEN // RESO + 3
+    grid = n_reads * nb * 4  # one (reads x nb) int32 grid pass, bytes
+    comp = {
+        "record_columns_reads": 3 * 4 * n_ov * 3,  # 2 profiles + stats
+        "scatter_rmw": (2 * 8) * n_ov * 2,         # 2 events x RMW x 2 grids
+        "stats_rmw": 3 * 8 * n_ov,                 # max/min/count segments
+        "cumsum_grid_passes": 2 * 2 * grid,        # rw over both grids
+        "mask_grid_read": grid,
+        "annotation_grid_reads": 2 * grid + n_reads * (nb - 1),
+        "hinge_call": 5 * 4 * n_tasks * pileup_w,
+        "final_reductions": grid,
+    }
+    total = sum(comp.values())
+    per_record = total / n_ov
+    sol_rps = V5E_HBM_BPS / per_record
+    return {
+        "hbm_bytes_per_iter": int(total),
+        "bytes_per_record": round(per_record, 1),
+        "sol_records_per_s": int(sol_rps),
+        "hbm_bw_bytes_per_s": int(V5E_HBM_BPS),
+        "components_bytes": {k: int(v) for k, v in comp.items()},
+    }
+
+
 def bench_numpy_baseline(a_id, a_start, a_end, read_len, iters=1):
     """Same computation, vectorized numpy on host (reference-CPU stand-in)."""
     nb = MAXLEN // RESO + 3
@@ -448,6 +502,7 @@ def main():
             backend = "cpu-fallback(degraded-link)"
         rps = rps or 0.0
 
+    sol = sol_account()
     primary = {
         "metric": "overlap_pileup_records_per_s_per_chip",
         "value": round(rps),
@@ -455,6 +510,11 @@ def main():
         "vs_baseline": round(rps / base_rps, 2),
         "backend": backend,
         "probe_attempts": n_probes,
+        # speed-of-light fraction: measured records/s over the HBM-roofline
+        # ceiling for this exact kernel chain (sol_account(); the full byte
+        # breakdown lands in BENCH_DETAIL.json + docs/DESIGN.md roofline)
+        "sol_records_per_s": sol["sol_records_per_s"],
+        "sol_frac": round(rps / sol["sol_records_per_s"], 4),
         "chain": "coverage+masks+annotation+hinge_call (trim/classify is native-C in production)",
     }
     rec = _recorded()
@@ -480,6 +540,7 @@ def main():
     e2e = _e2e(timeout_s=left() - 90)
     scaling = _scaling(budget_left=left() - 10)
     enriched = dict(primary)
+    enriched["sol_account"] = sol
     if e2e is not None:
         enriched["e2e"] = e2e
     if scaling is not None:

@@ -163,17 +163,26 @@ def write_db(
     cutoff: int = 0,
     all_reads: int = 1,
     prolog: str = "m000_000",
+    n_blocks: int = 1,
 ) -> None:
-    """Write a ReadStore as a DAZZ_DB database (stub + .idx + .bps [+ qual])."""
+    """Write a ReadStore as a DAZZ_DB database (stub + .idx + .bps [+ qual]).
+
+    n_blocks > 1 writes a real DBsplit-style block index (DB.h:299-311:
+    "blocks = N" then N+1 " %9d %9d" ufirst/tfirst lines at even read
+    boundaries) — the multi-block shape every demo pipeline produces via
+    DBsplit (demo/*/run.sh) and the reference's Open_DB parses at
+    DB.c:461-490."""
     stub_path, idx_path, bps_path = _db_paths(path)
     n = rs.n_reads
+    n_blocks = max(1, min(n_blocks, max(n, 1)))
     with open(stub_path, "w") as f:
         f.write(f"files = {1:9d}\n")
         f.write(f"  {n:9d} {prolog} {os.path.basename(stub_path)[:-3]}\n")
-        f.write(f"blocks = {1:9d}\n")
+        f.write(f"blocks = {n_blocks:9d}\n")
         f.write(f"size = {200000000:10d} cutoff = {cutoff:9d} all = {all_reads:1d}\n")
-        f.write(f" {0:9d} {0:9d}\n")
-        f.write(f" {n:9d} {n:9d}\n")
+        for b in range(n_blocks + 1):
+            edge = n * b // n_blocks
+            f.write(f" {edge:9d} {edge:9d}\n")
 
     recs = np.zeros(n, dtype=_HITS_READ)
     recs["origin"] = np.arange(1, n + 1)

@@ -297,10 +297,20 @@ def merge_las(paths, out_path: Optional[str] = None,
     return merged
 
 
-def split_las(ov: OverlapStore, n_reads: int, max_records: int):
+def split_las(ov: OverlapStore, n_reads: int, max_records: int,
+              split_pileups: bool = False):
     """Partition a store into A-id-contiguous parts (reference `split_las.py`:
-    wraps DAZZ_DB LAsplit to shard by size; here we shard by record count but
-    never split a pileup across parts)."""
+    wraps DAZZ_DB LAsplit to shard by size; here we shard by record count).
+
+    split_pileups=False never cuts inside one A-read's record run.
+    split_pileups=True cuts at EXACTLY max_records, so one A-read's
+    records can straddle a part boundary — the shape a DBsplit-block-
+    aligned LAsplit produces on real data, and the one that exercises the
+    reference's per-part mask/MIN_COV carry-over quirks
+    (filter.cpp:474-510 reruns the whole pileup logic per part)."""
+    if split_pileups:
+        return [ov.take(np.arange(s, min(s + max_records, ov.n)))
+                for s in range(0, max(ov.n, 1), max_records)]
     rp = ov.row_ptr(n_reads)
     parts = []
     start_row = 0

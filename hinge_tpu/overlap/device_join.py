@@ -1,4 +1,4 @@
-"""TPU-native all-vs-all minimizer overlap join.
+"""TPU all-vs-all minimizer overlap join — bit-exact, measured, OPT-IN.
 
 The overlap stage was the last host-only hot path (r4: ~35s of a 71.4s TPU
 e2e, all in native/io_native.cpp's hash-histogram join).  This module moves
@@ -7,6 +7,13 @@ join, diagonal-band chaining, greedy anchor thinning, and trace-point
 emission — onto the accelerator as dense XLA programs, uploading only the
 2-bit-packed read codes (~bases/4 bytes) and downloading only the
 surviving records + traces.
+
+It is NOT the production TPU path: on the v5e the measured random
+gather/scatter rate (~100M elem/s) bounds any formulation of this join to
+minutes at the 4.6Mb/30x scale where the C hash-histogram takes 16-29s —
+see device_join_available() and docs/DESIGN.md.  It remains the
+bit-parity reference implementation, CPU-tested on every commit, for
+platforms with faster irregular access.
 
 Records are BIT-IDENTICAL to the native C path (mapper._native_map_block +
 emit_records): every ordering, tie-break, subsampling and rounding rule of
@@ -43,6 +50,7 @@ either way).
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import List, Optional
 
@@ -96,39 +104,38 @@ def _segment_ids(starts_mask):
     return jnp.cumsum(starts_mask.astype(jnp.int32)) - 1
 
 
-def _lower_bound(keys, lo, hi, target, steps):
-    """Vectorized first-index-with-keys[i] >= target in [lo, hi), fixed
-    `steps` binary-search rounds (2**steps must cover max(hi-lo))."""
+def _bsearch(keys, lo, hi, target, steps, upper):
+    """Vectorized bounded binary search as a fori_loop (an unrolled
+    version compiles the remote TPU program for many minutes — the loop
+    form keeps the HLO graph small at identical semantics).
+    upper=False: first index with keys[i] >= target in [lo, hi);
+    upper=True:  first index with keys[i] >  target."""
+    import jax
     import jax.numpy as jnp
 
     lo = lo.astype(jnp.int32)
     hi = hi.astype(jnp.int32)
     n = keys.shape[0]
-    for _ in range(steps):
+
+    def body(_, lh):
+        lo, hi = lh
         cont = lo < hi
         mid = (lo + hi) >> 1
         kv = keys[jnp.clip(mid, 0, n - 1)]
-        go_right = kv < target
-        lo = jnp.where(cont & go_right, mid + 1, lo)
-        hi = jnp.where(cont & ~go_right, mid, hi)
+        go_right = (kv <= target) if upper else (kv < target)
+        return (jnp.where(cont & go_right, mid + 1, lo),
+                jnp.where(cont & ~go_right, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
+
+
+def _lower_bound(keys, lo, hi, target, steps):
+    return _bsearch(keys, lo, hi, target, steps, upper=False)
 
 
 def _upper_bound(keys, lo, hi, target, steps):
-    """First index with keys[i] > target in [lo, hi)."""
-    import jax.numpy as jnp
-
-    lo = lo.astype(jnp.int32)
-    hi = hi.astype(jnp.int32)
-    n = keys.shape[0]
-    for _ in range(steps):
-        cont = lo < hi
-        mid = (lo + hi) >> 1
-        kv = keys[jnp.clip(mid, 0, n - 1)]
-        go_right = kv <= target
-        lo = jnp.where(cont & go_right, mid + 1, lo)
-        hi = jnp.where(cont & ~go_right, mid, hi)
-    return lo
+    return _bsearch(keys, lo, hi, target, steps, upper=True)
 
 
 # ---------------------------------------------------------------------------
@@ -306,10 +313,14 @@ def _scatter_fn(iglob: int, icap: int):
 # ---------------------------------------------------------------------------
 
 
-def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
-             min_span: int, min_cnt: int, tspace: int,
-             mcap: int, hcap: int, bandcap: int, rowcap: int,
-             kcap: int, tbcap: int, trcap: int, pre_bits: int):
+def _join_fns(k: int, band_width: int, min_hits: int, sub_gap: int,
+              min_span: int, min_cnt: int, tspace: int,
+              mcap: int, hcap: int, bandcap: int, rowcap: int,
+              kcap: int, tbcap: int, trcap: int, pre_bits: int):
+    """The per-block join pipeline as FOUR separate jits (p1..p4) with
+    device-resident intermediates.  One fused program compiled on the
+    remote TPU compiler for >9 minutes; the split phases compile in a
+    fraction of that and cache independently per geometry."""
     key = ("join", k, band_width, min_hits, sub_gap, min_span, min_cnt,
            tspace, mcap, hcap, bandcap, rowcap, kcap, tbcap, trcap, pre_bits)
     if key in _FN_CACHE:
@@ -324,12 +335,12 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
     acap = hcap        # accepted hits can approach the raw hit count
 
     @jax.jit
-    def fn(idx_h, idx_tid, idx_pos, entry_valid, pre,
+    def p1(idx_h, idx_tid, idx_pos, entry_valid, pre,
            mh, mpos, msid, mcount, r0, band_off, half_pairs):
+        """Bucket lookup, hit expansion, band key, (rid, key) sort."""
         iglob = idx_h.shape[0]
         qvalid = jnp.arange(mcap, dtype=jnp.int32) < mcount
 
-        # ---- per-query bucket bounds (prefix table + bounded search) ----
         pb = (mh >> pre_shift).astype(jnp.int32)
         lo0 = pre[pb]
         hi0 = pre[jnp.clip(pb + 1, 0, pre.shape[0] - 1)]
@@ -338,7 +349,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
         hi = _upper_bound(idx_h, lo, hi0, mh, idx_steps)
         cnt = jnp.where(qvalid, hi - lo, 0)
 
-        # ---- expand to the flat hit table ----
         offs = jnp.cumsum(cnt) - cnt
         total_hits = offs[-1] + cnt[-1]
         hit_ovf = total_hits > hcap
@@ -370,21 +380,30 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             band_rel, 0, (1 << BANDBITS) - 1)
         rid_k = jnp.where(ok_h, g_rid, jnp.int32(INVALID_RID))
 
-        # ---- group hits: stable sort by (rid, key); ties keep flat order
-        # (== C's per-read stream-then-bucket "buf" order) ----
+        # stable sort by (rid, key); ties keep flat order (== C's per-read
+        # stream-then-bucket "buf" order)
         rid_s, key_s, q_s, t_s = jax.lax.sort(
             (rid_k, gkey, q, t), num_keys=2, is_stable=True)
+        flags1 = jnp.stack([hit_ovf.astype(jnp.int32),
+                            band_ovf.astype(jnp.int32),
+                            steps_ovf.astype(jnp.int32)])
+        return rid_s, key_s, q_s, t_s, flags1
+
+    @jax.jit
+    def p2(rid_s, key_s, q_s, t_s):
+        """Band run-lengths, best adjacent pair per group, accepted rows,
+        accepted-hit compaction + (row, q, t) sort."""
         valid_s = rid_s < INVALID_RID
 
-        # ---- band run-lengths ----
         newband = jnp.ones(hcap, jnp.bool_)
         newband = newband.at[1:].set((rid_s[1:] != rid_s[:-1]) |
                                      (key_s[1:] != key_s[:-1]))
         newband &= valid_s
         band_id_raw = _segment_ids(newband)
         nband = jnp.max(jnp.where(valid_s, band_id_raw + 1, 0))
-        band_ovf |= nband > bandcap
-        band_id = jnp.where(valid_s, jnp.clip(band_id_raw, 0, bandcap), bandcap)
+        band_ovf = nband > bandcap
+        band_id = jnp.where(valid_s, jnp.clip(band_id_raw, 0, bandcap),
+                            bandcap)
         bidx = jnp.arange(hcap, dtype=jnp.int32)
         b_start = jnp.full(bandcap + 1, hcap, jnp.int32).at[band_id].min(
             bidx, mode="drop")[:bandcap]
@@ -397,7 +416,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             key_s, mode="drop")[:bandcap]
         b_real = b_rid < INVALID_RID
 
-        # ---- groups = (rid, key >> BANDBITS) runs over bands ----
         b_grp = b_key >> BANDBITS
         newgrp = jnp.ones(bandcap, jnp.bool_)
         newgrp = newgrp.at[1:].set((b_rid[1:] != b_rid[:-1]) |
@@ -419,7 +437,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             jnp.where(is_best, grp_id, bandcap)].min(
             jnp.arange(bandcap, dtype=jnp.int32), mode="drop")
 
-        # group-level accept -> rows in (rid, tid, strand) order
         g_accept = newgrp & (g_best[grp_id] >= min_hits)
         row_of = jnp.cumsum(g_accept.astype(jnp.int32)) - 1
         n_rows = row_of[-1] + 1
@@ -429,10 +446,7 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             b_rid, mode="drop")[:rowcap]
         row_key = jnp.zeros(rowcap + 1, jnp.int32).at[ridx].max(
             b_grp, mode="drop")[:rowcap]
-        row_tid = row_key >> 1
-        row_strand = row_key & 1
 
-        # band -> row mapping for each group's best adjacent pair
         accepted_b = b_real & (g_best[grp_id] >= min_hits)
         bi = g_besti[grp_id]
         arange_b = jnp.arange(bandcap, dtype=jnp.int32)
@@ -442,7 +456,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
         grp_row = jnp.clip(row_of, 0, rowcap - 1)
         row_at = jnp.where(sel_best | sel_next, grp_row, -1)
 
-        # ---- accepted hits, re-sorted to (row, q, t) ----
         hit_row = jnp.where(valid_s & (band_id < bandcap),
                             row_at[jnp.clip(band_id, 0, bandcap - 1)], -1)
         acc_cnt, (a_row, a_q, a_t) = _compact(
@@ -452,30 +465,43 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             (q_s, jnp.int32(0)), (t_s, jnp.int32(0)))
         acc_ovf = acc_cnt > acap
         a_row, a_q, a_t = jax.lax.sort((a_row, a_q, a_t), num_keys=3)
+        flags2 = jnp.stack([band_ovf.astype(jnp.int32),
+                            row_ovf.astype(jnp.int32),
+                            acc_ovf.astype(jnp.int32)])
+        return (a_row, a_q, a_t, row_rid, row_key >> 1, row_key & 1,
+                n_rows, flags2)
+
+    @jax.jit
+    def p3(a_row, a_q, a_t, n_rows):
+        """Greedy sub_gap thinning (orbit walk), monotone-t filter, and
+        per-row span statistics."""
         a_real = a_row < rowcap
         a_rowc = jnp.clip(a_row, 0, rowcap - 1)
-
         aidx = jnp.arange(acap, dtype=jnp.int32)
         r_start = jnp.full(rowcap + 1, acap, jnp.int32).at[
             jnp.where(a_real, a_row, rowcap)].min(aidx, mode="drop")[:rowcap]
         r_end = jnp.zeros(rowcap + 1, jnp.int32).at[
             jnp.where(a_real, a_row, rowcap)].max(
             aidx + 1, mode="drop")[:rowcap]
-        steps_ovf |= jnp.max(jnp.maximum(r_end - r_start, 0)) > (1 << row_steps)
+        steps_ovf = jnp.max(jnp.maximum(r_end - r_start, 0)) > (1 << row_steps)
 
-        # ---- greedy sub_gap thinning as an orbit walk ----
         nxt = _lower_bound(a_q, jnp.minimum(aidx + 1, acap),
                            jnp.where(a_real, r_end[a_rowc], 0),
                            a_q + jnp.int32(sub_gap), row_steps)
         nxt = jnp.where(a_real & (nxt < r_end[a_rowc]), nxt, acap)
-        S32 = (a_real & (aidx == r_start[a_rowc])).astype(jnp.int32)
-        Jmp = nxt
         Jext = jnp.array([acap], jnp.int32)
-        for _ in range(row_steps + 2):
+
+        def orbit_body(_, sj):
+            S32, Jmp = sj
             S32 = jnp.maximum(
                 S32, jnp.zeros(acap + 1, jnp.int32).at[Jmp].max(
                     S32, mode="drop")[:acap])
             Jmp = jnp.concatenate([Jmp, Jext])[jnp.clip(Jmp, 0, acap)]
+            return S32, Jmp
+
+        S32, _ = jax.lax.fori_loop(
+            0, row_steps + 2, orbit_body,
+            ((a_real & (aidx == r_start[a_rowc])).astype(jnp.int32), nxt))
         S = S32 > 0
         q_emit_max = jnp.zeros(rowcap + 1, jnp.int32).at[
             jnp.where(S, a_row, rowcap)].max(a_q, mode="drop")[:rowcap]
@@ -488,7 +514,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
         thin_ovf = kn > kcap
         k_real = k_row < rowcap
 
-        # ---- monotone-t filter (t >= running max) ----
         kk = (k_row.astype(jnp.int64) << 25) | k_t.astype(jnp.int64)
         run = jax.lax.cummax(jnp.where(k_real, kk, jnp.int64(-1)))
         prev = jnp.concatenate([jnp.array([-1], jnp.int64), run[:-1]])
@@ -496,10 +521,9 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
         prev_t = (prev & ((1 << 25) - 1)).astype(jnp.int32)
         keep = k_real & ((prev_row != k_row) | (k_t >= prev_t))
 
-        mn, (f_row, f_q, f_t) = _compact(
+        _, (f_row, f_q, f_t) = _compact(
             keep, kcap, (k_row, jnp.int32(rowcap)), (k_q, jnp.int32(0)),
             (k_t, jnp.int32(0)))
-        del mn
         f_real = f_row < rowcap
         fidx = jnp.arange(kcap, dtype=jnp.int32)
         fr_start = jnp.full(rowcap + 1, kcap, jnp.int32).at[
@@ -520,8 +544,15 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
             (T1 - T0 >= min_span)
         n_int = jnp.maximum((T1 - 1) // tspace - T0 // tspace, 0)
         nb = jnp.where(okr, n_int + 2, 0)
+        flags3 = jnp.stack([thin_ovf.astype(jnp.int32),
+                            steps_ovf.astype(jnp.int32)])
+        return (f_q, f_t, fr_start, fr_end, Q0, Q1, T0, T1, okr, nb,
+                flags3)
 
-        # ---- trace-point grid bounds per accepted row ----
+    @jax.jit
+    def p4(f_q, f_t, fr_start, fr_end, Q0, Q1, T0, T1, okr, nb):
+        """Trace-point grid bounds, integer-exact interpolation, remainder
+        fold, and flat trace assembly."""
         boff = jnp.cumsum(nb) - nb
         tb_total = boff[-1] + nb[-1]
         tb_ovf = tb_total > tbcap
@@ -558,7 +589,6 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
                         jnp.where(jj == last_j,
                                   Q1[row_b].astype(jnp.int64), qd))
 
-        # ---- displacements + remainder fold + trace assembly ----
         nxt_bar = jnp.concatenate([bar[1:], jnp.zeros(1, jnp.int64)])
         is_d = in_b & (jj < last_j)
         d = jnp.where(is_d, jnp.clip(nxt_bar - bar, 0, 65534), 0).astype(
@@ -580,18 +610,13 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
         tpos_ = toff[row_b] + 2 * jj + 1
         trace = jnp.zeros(trcap, jnp.int32).at[
             jnp.where(is_d, tpos_, trcap)].max(d, mode="drop")
+        flags4 = jnp.stack([tb_ovf.astype(jnp.int32),
+                            tr_ovf.astype(jnp.int32)])
+        return trace.astype(jnp.uint16), tr_total, flags4
 
-        flags = jnp.stack([
-            hit_ovf.astype(jnp.int32), band_ovf.astype(jnp.int32),
-            row_ovf.astype(jnp.int32), acc_ovf.astype(jnp.int32),
-            thin_ovf.astype(jnp.int32), tb_ovf.astype(jnp.int32),
-            tr_ovf.astype(jnp.int32), steps_ovf.astype(jnp.int32)])
-        return (n_rows, flags, row_rid, row_strand, row_tid,
-                okr.astype(jnp.int32), Q0, Q1, T0, T1, nb,
-                trace.astype(jnp.uint16), tr_total)
-
-    _FN_CACHE[key] = fn
-    return fn
+    fns = (p1, p2, p3, p4)
+    _FN_CACHE[key] = fns
+    return fns
 
 
 # ---------------------------------------------------------------------------
@@ -600,24 +625,42 @@ def _join_fn(k: int, band_width: int, min_hits: int, sub_gap: int,
 
 
 def device_join_available() -> bool:
-    """True when the device join should be attempted: forced on via
-    HINGE_DEVICE_JOIN=1, else a TPU-class default backend with a healthy
-    link (HINGE_DEVICE_JOIN=0 disables)."""
-    forced = os.environ.get("HINGE_DEVICE_JOIN", "")
-    if forced == "0":
-        return False
-    if forced == "1":
-        return True
-    try:
-        import jax
+    """True only when HINGE_DEVICE_JOIN=1 forces the device path.
 
-        if jax.default_backend() not in ("tpu", "axon"):
-            return False
-        from hinge_tpu.utils.device_health import device_transfer_ok
+    MEASURED OUTCOME (r5, v5e via the axon tunnel): the device join is
+    bit-identical to the C path but LOSES to it decisively — ~65-75s per
+    8M-base block (sync-profiled: thinning 45s, join 7s, emit 9s) vs the
+    whole C join at 16-29s for the full 138Mb workload.  The bound is the
+    chip's random gather/scatter rate: ~100M elem/s warm (0.17s for 16M
+    int32 gathers — identical for random, sorted, and near-local
+    indices), ~0.4GB/s effective, while sorts run at 184M rows/s and
+    scans at ~2G elem/s.  The join's dataflow formulation needs ~12
+    gather/scatter passes per hit (field expansion, band grouping,
+    thinning orbit, interpolation) over 535M seed hits — ~6.4G random
+    accesses ≈ minutes of device time no matter how the phases are
+    arranged, vs ~2 cache-resident probes/hit in the C hash histogram.
+    See docs/DESIGN.md "r5: overlap-join roofline" for the full account.
 
-        return device_transfer_ok()
-    except Exception:
-        return False
+    The path stays maintained and bit-parity-tested (the CPU-backend test
+    suite runs it on every commit) as the reference implementation for a
+    future platform where gathers are not 2000x below HBM speed."""
+    return os.environ.get("HINGE_DEVICE_JOIN", "") == "1"
+
+
+def _debug_log():
+    """Phase-timing logger: HINGE_DEVICE_JOIN_LOG=<path> appends stamped
+    lines (perf diagnosis on the tunnel, where compile/transfer walls
+    dominate and block_until_ready lies — see CLAUDE.md)."""
+    p = os.environ.get("HINGE_DEVICE_JOIN_LOG", "")
+    if not p:
+        return lambda *a: None
+    f = open(p, "a", buffering=1)
+    t0 = time.time()
+
+    def log(*a):
+        print(f"[djoin +{time.time() - t0:7.1f}s]", *a, file=f)
+
+    return log
 
 
 def _pack_codes(rs: ReadStore) -> np.ndarray:
@@ -642,7 +685,7 @@ def overlap_base_records(
     sub_gap: int = 32,
     max_bucket: int = 64,
     min_cnt: int = 2,
-    block_bases: int = 1 << 24,
+    block_bases: int = 1 << 23,
 ) -> Optional[OverlapStore]:
     """All-vs-all half-pairs base records on the accelerator; None when
     the device path is unavailable or a capacity/shape gate fails (caller
@@ -662,9 +705,11 @@ def overlap_base_records(
 
     from hinge_tpu.overlap import mapper as _mapper
 
+    dbg = _debug_log()
     with _enable_x64():
         packed = _pack_codes(rs)
         code_off32 = rs.bases_off.astype(np.int32)
+        dbg(f"packed {len(packed)} bytes, {rs.n_reads} reads")
 
         # ---- block partition by X length (fwd+rc codes per read) ----
         blocks = []  # (r0, r1, x_len)
@@ -700,11 +745,14 @@ def overlap_base_records(
             ss = np.zeros(nstream_cap + 1, np.int32)
             np.cumsum(inter, out=ss[1 : 2 * nr + 1])
             ss[2 * nr + 1 :] = ss[2 * nr]
+            t0 = time.time()
             out = mini(d_packed, d_off, d_lens, jnp.asarray(ss),
                        jnp.int32(2 * nr), jnp.int32(b0))
             mcount, mh, mpos, msid, icount, ih, itid, ipos = out
             mc = int(mcount)
             ic = int(icount)
+            dbg(f"block {b0}-{r1}: minimizers={mc} idx={ic} "
+                f"({time.time()-t0:.1f}s)")
             if mc > mcap or ic > icap:
                 return None
             block_q.append((mh, mpos, msid, mc, b0, r1))
@@ -725,10 +773,14 @@ def overlap_base_records(
                                   jnp.int32(ic), jnp.int32(off))
             off += ic
         del idx_parts
+        t0 = time.time()
         idxf = _index_fn(iglob, pre_bits, max_bucket)
         sh, stid, spos, entry_valid, pre = idxf(gh, gtid, gpos,
                                                 jnp.int32(n_idx))
+        pre.block_until_ready()
         del gh, gtid, gpos
+        dbg(f"index: n={n_idx} iglob={iglob} pre_bits={pre_bits} "
+            f"({time.time()-t0:.1f}s)")
 
         # ---- join per block ----
         # 16x minimizer cap: the 4.6Mb/30x workload measures ~12 hits per
@@ -741,46 +793,76 @@ def overlap_base_records(
         tbcap = max(rowcap * 32, 1 << 14)
         trcap = 2 * tbcap
         stores: List[OverlapStore] = []
-        for mh, mpos, msid, mc, b0, r1 in block_q:
+        for bi_ in range(len(block_q)):
+            mh, mpos, msid, mc, b0, r1 = block_q[bi_]
+            block_q[bi_] = None  # free this block's query arrays after use
             band_off_np = ((-(lens[b0:r1] - k)) + (1 << 30)) // band_width
             boff_pad = np.zeros(_pow2(max_reads_blk), np.int32)
             boff_pad[: r1 - b0] = band_off_np.astype(np.int32)
             attempt = 0
             while True:
-                joinf = _join_fn(k, band_width, min_hits, sub_gap, min_span,
-                                 min_cnt, tspace, mcap, hcap, bandcap,
-                                 rowcap, kcap, tbcap, trcap, pre_bits)
-                out = joinf(sh, stid, spos, entry_valid, pre,
-                            mh, mpos, msid, jnp.int32(mc), jnp.int32(b0),
-                            jnp.asarray(boff_pad), jnp.int32(1))
-                (n_rows, flags, row_rid, row_strand, row_tid, okr,
-                 Q0, Q1, T0, T1, nb, trace, tr_total) = out
-                fl = np.asarray(flags)
-                if not fl.any():
+                p1, p2, p3, p4 = _join_fns(
+                    k, band_width, min_hits, sub_gap, min_span, min_cnt,
+                    tspace, mcap, hcap, bandcap, rowcap, kcap, tbcap,
+                    trcap, pre_bits)
+                sync = os.environ.get("HINGE_DEVICE_JOIN_SYNC") == "1"
+                t0 = time.time()
+                rid_s, key_s, q_s, t_s, fl1 = p1(
+                    sh, stid, spos, entry_valid, pre,
+                    mh, mpos, msid, jnp.int32(mc), jnp.int32(b0),
+                    jnp.asarray(boff_pad), jnp.int32(1))
+                if sync:
+                    np.asarray(fl1)
+                dbg(f"block {b0}: p1 ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                (a_row, a_q, a_t, row_rid, row_tid, row_strand,
+                 n_rows, fl2) = p2(rid_s, key_s, q_s, t_s)
+                del rid_s, key_s, q_s, t_s
+                if sync:
+                    np.asarray(fl2)
+                dbg(f"block {b0}: p2 ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                (f_q, f_t, fr_start, fr_end, Q0, Q1, T0, T1, okr, nb,
+                 fl3) = p3(a_row, a_q, a_t, n_rows)
+                del a_row, a_q, a_t
+                if sync:
+                    np.asarray(fl3)
+                dbg(f"block {b0}: p3 ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                trace, tr_total, fl4 = p4(f_q, f_t, fr_start, fr_end,
+                                          Q0, Q1, T0, T1, okr, nb)
+                del f_q, f_t, fr_start, fr_end
+                if sync:
+                    np.asarray(fl4)
+                dbg(f"block {b0}: p4 ({time.time()-t0:.1f}s)")
+                f1, f2, f3, f4 = (np.asarray(fl1), np.asarray(fl2),
+                                  np.asarray(fl3), np.asarray(fl4))
+                if not (f1.any() or f2.any() or f3.any() or f4.any()):
                     break
+                if f1[1] or f1[2] or f3[1]:
+                    return None  # key-packing/search-depth gates: no retry
                 attempt += 1
                 if attempt > 3:
                     return None
                 # grow whichever capacity overflowed and retry the block
-                if fl[0] or fl[3]:
+                if f1[0] or f2[2]:
                     hcap *= 2
-                if fl[1]:
+                if f2[0]:
                     bandcap *= 2
-                if fl[2]:
+                if f2[1]:
                     rowcap *= 2
                     tbcap = max(tbcap, rowcap * 32)
                     trcap = 2 * tbcap
-                if fl[4]:
+                if f3[0]:
                     kcap *= 2
-                if fl[5] or fl[6]:
+                if f4[0] or f4[1]:
                     tbcap *= 2
                     trcap = 2 * tbcap
-                if fl[7]:
-                    return None
             nr = int(n_rows)
             if nr == 0:
                 continue
             tt = int(tr_total)
+            t_fetch = time.time()
             rid = np.asarray(row_rid[:nr])
             strand = np.asarray(row_strand[:nr])
             tid = np.asarray(row_tid[:nr])
@@ -791,6 +873,8 @@ def overlap_base_records(
             t1 = np.asarray(T1[:nr]).astype(np.int64)
             nbv = np.asarray(nb[:nr]).astype(np.int64)
             tr = np.asarray(trace[:tt])
+            dbg(f"block {b0}: fetched rows={nr} trace={tt} "
+                f"({time.time()-t_fetch:.1f}s)")
             acc = np.nonzero(ok)[0]
             if len(acc) == 0:
                 continue

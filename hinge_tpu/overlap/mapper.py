@@ -253,10 +253,12 @@ def map_reads_to_targets(
     forward streams double as the index input and the per-block query
     slices come from the same arrays (the index build previously re-ran
     the whole minimizer pass over identical sequences)."""
-    # TPU path: the whole join chain runs on the accelerator when the
-    # backend + link allow it (device_join.py) — records bit-identical to
-    # the native C path below, which stays the CPU default, the
-    # degraded-link fallback, and the parity oracle
+    # Experimental device path (HINGE_DEVICE_JOIN=1 only): the whole join
+    # chain as XLA programs, records bit-identical to the C path below.
+    # NOT the TPU default — measured r5, the v5e's ~100M elem/s random
+    # gather/scatter rate makes it lose to this C path by ~40x at
+    # production scale (see device_join.device_join_available and
+    # docs/DESIGN.md "r5: overlap-join roofline").
     if half_pairs and rs.bases is not None:
         from hinge_tpu.native import get_lib
         from hinge_tpu.overlap import device_join

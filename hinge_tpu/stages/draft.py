@@ -579,6 +579,11 @@ def run_draft(
         with open(out_fasta, "w") as f:
             for name, seq in out:
                 f.write(f">{name}\n{seq}\n")
+            if not out:
+                # draft.cpp:1113-1114 flushes the (empty) trailing
+                # name+contig unconditionally: an empty edges.list still
+                # yields a 2-byte "\n\n" fasta
+                f.write("\n\n")
     return out
 
 

@@ -44,6 +44,17 @@ class FilterResult:
     min_cov_final: int
     cov_est: int
     coverages_txt: Optional[List[str]] = None
+    # per-part SNAPSHOT lines for the stage files: the reference writes
+    # X.mas/X.cmas inside each part's mask loop (filter.cpp:775-787),
+    # X.repeat.txt only during part 1 (rep.close() at :1085 runs inside
+    # the part loop, so later parts write to a closed stream), and
+    # X.hinges.txt per part over [r_begin, r_end) — on multi-part input
+    # the files carry boundary-read duplicates with the PART-TIME values,
+    # not the final state
+    mas_lines: Optional[List[str]] = None
+    cmas_lines: Optional[List[str]] = None
+    repeat_lines: Optional[List[str]] = None
+    hinges_lines: Optional[List[str]] = None
 
 
 def qv_masks_all(rs: ReadStore, tspace: int, threshold: int = 40) -> np.ndarray:
@@ -281,6 +292,11 @@ def _run_filter_body(
 
     MIN_COV = f.min_cov
     cov_est = 0
+    mas_lines: List[str] = []
+    cmas_lines: List[str] = []
+    repeat_lines: List[str] = []
+    hinges_lines: List[str] = []
+    part_idx = -1
 
     # neighbor expansion for restrictreads (filter.cpp:680-694): all B
     # partners of the initially selected reads
@@ -297,6 +313,7 @@ def _run_filter_body(
     for part in parts:
         if part.n == 0:
             continue
+        part_idx += 1
         r_begin = int(part.a_id[0])
         r_end = int(part.a_id[-1])
         n_chunk = r_end - r_begin + 1
@@ -391,6 +408,19 @@ def _run_filter_body(
             repeat_annotation, hinges, f, reso,
         )
 
+        # ---- per-part stage-file snapshots (see FilterResult fields) ----
+        for i in range(r_begin, r_end + 1):
+            cmas_lines.append(f"{i} {cmask[i, 0]} {cmask[i, 1]}")
+            mas_lines.append(f"{i} {maskvec[i, 0]} {maskvec[i, 1]}")
+        if part_idx == 0:
+            for i in range(r_begin, r_end + 1):
+                body = "".join(f"{p} {t} " for p, t in repeat_annotation[i])
+                repeat_lines.append(f"{i} {body}")
+        # reference quirk: the hinges loop is `i < r_end` (skips the last)
+        for i in range(r_begin, r_end):
+            body = "".join(f"{p} {t} " for p, t in hinges.get(i, []))
+            hinges_lines.append(f"{i} {body}")
+
         # ---- coverage.txt lines (filter.cpp:599-602) ----
         if coverage_lines is not None:
             native = _native_coverage_lines(cov, ne, reso, r_begin)
@@ -410,6 +440,10 @@ def _run_filter_body(
         hinges=hinges,
         cov_flag=cov_flag,
         self_flag=self_flag,
+        mas_lines=mas_lines,
+        cmas_lines=cmas_lines,
+        repeat_lines=repeat_lines,
+        hinges_lines=hinges_lines,
         min_cov_final=MIN_COV,
         cov_est=cov_est,
         coverages_txt=coverage_lines,
@@ -716,24 +750,38 @@ def write_filter_outputs(res: FilterResult, prefix: str, n_read: int, delete_tel
         if part.n:
             ranges.append((int(part.a_id[0]), int(part.a_id[-1])))
 
-    with open(prefix + ".mas", "w") as mas, open(prefix + ".cmas", "w") as cmas:
-        for r_begin, r_end in ranges:
-            for i in range(r_begin, r_end + 1):
-                cmas.write(f"{i} {res.cmask[i,0]} {res.cmask[i,1]}\n")
-                mas.write(f"{i} {res.maskvec[i,0]} {res.maskvec[i,1]}\n")
-
-    with open(prefix + ".repeat.txt", "w") as rep:
-        for r_begin, r_end in ranges:
-            for i in range(r_begin, r_end + 1):
-                body = "".join(f"{p} {t} " for p, t in res.repeat_annotation[i])
-                rep.write(f"{i} {body}\n")
-
-    with open(prefix + ".hinges.txt", "w") as hg:
-        for r_begin, r_end in ranges:
-            # reference quirk: loop is `i < r_end`, the last read is skipped
-            for i in range(r_begin, r_end):
-                body = "".join(f"{p} {t} " for p, t in res.hinges.get(i, []))
-                hg.write(f"{i} {body}\n")
+    # per-part snapshot lines (the reference writes these files inside the
+    # part loop; see the FilterResult field comments) with a final-state
+    # fallback for callers that built a FilterResult by hand
+    if res.mas_lines is not None:
+        with open(prefix + ".mas", "w") as mas:
+            mas.write("".join(line + "\n" for line in res.mas_lines))
+        with open(prefix + ".cmas", "w") as cmas:
+            cmas.write("".join(line + "\n" for line in res.cmas_lines))
+        with open(prefix + ".repeat.txt", "w") as rep:
+            rep.write("".join(line + "\n" for line in res.repeat_lines))
+        with open(prefix + ".hinges.txt", "w") as hg:
+            hg.write("".join(line + "\n" for line in res.hinges_lines))
+    else:
+        with open(prefix + ".mas", "w") as mas, \
+                open(prefix + ".cmas", "w") as cmas:
+            for r_begin, r_end in ranges:
+                for i in range(r_begin, r_end + 1):
+                    cmas.write(f"{i} {res.cmask[i,0]} {res.cmask[i,1]}\n")
+                    mas.write(f"{i} {res.maskvec[i,0]} {res.maskvec[i,1]}\n")
+        with open(prefix + ".repeat.txt", "w") as rep:
+            for r_begin, r_end in ranges:
+                for i in range(r_begin, r_end + 1):
+                    body = "".join(
+                        f"{p} {t} " for p, t in res.repeat_annotation[i])
+                    rep.write(f"{i} {body}\n")
+        with open(prefix + ".hinges.txt", "w") as hg:
+            for r_begin, r_end in ranges:
+                # reference quirk: `i < r_end`, the last read is skipped
+                for i in range(r_begin, r_end):
+                    body = "".join(
+                        f"{p} {t} " for p, t in res.hinges.get(i, []))
+                    hg.write(f"{i} {body}\n")
 
     with open(prefix + ".cov.flag", "w") as fcov:
         for i in res.cov_flag:

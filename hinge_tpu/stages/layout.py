@@ -98,7 +98,7 @@ def get_alignment(
     has_db: bool = True,
 ) -> List[Matches]:
     f, lay = cfg.filter, cfg.layout
-    out = []
+    per_part = []
     for part in parts:
         if part.n == 0:
             continue
@@ -123,34 +123,88 @@ def get_alignment(
                 fwd.setdefault(i, []).append(q)
             elif t in BACKWARD_TYPES:
                 bwd.setdefault(i, []).append(q)
-        # sort by weight desc: hinging.cpp:1068-1069 uses std::sort
-        # (compare_overlap_weight), whose unstable tie permutation the
-        # hgraph/edge files inherit — replicate it via the libstdc++ oracle
-        # (ops/pairs._libstdcxx_orders); stable descending otherwise
-        from hinge_tpu.ops.pairs import _libstdcxx_orders
+        per_part.append((sub, pa, fwd, bwd))
+    if not per_part:
+        return []
 
-        orders = _libstdcxx_orders()
-        for d in (fwd, bwd):
-            if orders is None:
-                for i, lst in d.items():
-                    lst.sort(key=lambda q: -int(pa.weight[q]))
-                continue
-            _, sort_batch = orders
-            items = sorted(d.items())
-            flat = np.array([q for _, lst in items for q in lst],
-                            dtype=np.int64)
-            if len(flat) == 0:
-                continue
-            off = np.zeros(len(items) + 1, dtype=np.int64)
-            np.cumsum([len(lst) for _, lst in items], out=off[1:])
-            wts = np.ascontiguousarray(pa.weight[flat].astype(np.int64))
-            perm = np.zeros(len(flat), dtype=np.int32)
-            sort_batch(wts, off, len(items), perm)
-            for gi, (i, lst) in enumerate(items):
-                s, e = off[gi], off[gi + 1]
-                d[i] = [lst[j] for j in perm[s:e]]
-        out.append(Matches(store=sub, pa=pa, fwd=fwd, bwd=bwd))
-    return out
+    # merge the parts into ONE match set: hinging.cpp's GetAlignment part
+    # loop (:423) appends every part's candidates into the same global
+    # matches_forward/backward vectors and the kill/greedy/layout loops run
+    # ONCE over the merged, weight-sorted lists — per-part iteration would
+    # double-process boundary reads and re-log deadends per part (caught by
+    # the --mlas parity profile 93)
+    if len(per_part) == 1:
+        sub, pa, fwd, bwd = per_part[0]
+    else:
+        sub = _concat_stores([pp[0] for pp in per_part])
+        row_off = np.cumsum([0] + [pp[0].n for pp in per_part])
+        q_off = np.cumsum([0] + [len(pp[1].rows) for pp in per_part])
+        import dataclasses as _dc
+
+        cols = {}
+        for fld in _dc.fields(ProcessedAlignments):
+            vals = [getattr(pp[1], fld.name) for pp in per_part]
+            if any(v is None for v in vals):
+                cols[fld.name] = None
+            elif fld.name == "rows":
+                cols[fld.name] = np.concatenate(
+                    [v + row_off[pi] for pi, v in enumerate(vals)])
+            else:
+                cols[fld.name] = np.concatenate(vals)
+        pa = ProcessedAlignments(**cols)
+        fwd, bwd = {}, {}
+        for pi, (_, _, fw, bw) in enumerate(per_part):
+            for i, lst in fw.items():
+                fwd.setdefault(i, []).extend(q + int(q_off[pi]) for q in lst)
+            for i, lst in bw.items():
+                bwd.setdefault(i, []).extend(q + int(q_off[pi]) for q in lst)
+
+    # sort by weight desc: hinging.cpp:1068-1069 uses std::sort
+    # (compare_overlap_weight), whose unstable tie permutation the
+    # hgraph/edge files inherit — replicate it via the libstdc++ oracle
+    # (ops/pairs._libstdcxx_orders); stable descending otherwise
+    from hinge_tpu.ops.pairs import _libstdcxx_orders
+
+    orders = _libstdcxx_orders()
+    for d in (fwd, bwd):
+        if orders is None:
+            for i, lst in d.items():
+                lst.sort(key=lambda q: -int(pa.weight[q]))
+            continue
+        _, sort_batch = orders
+        items = sorted(d.items())
+        flat = np.array([q for _, lst in items for q in lst],
+                        dtype=np.int64)
+        if len(flat) == 0:
+            continue
+        off = np.zeros(len(items) + 1, dtype=np.int64)
+        np.cumsum([len(lst) for _, lst in items], out=off[1:])
+        wts = np.ascontiguousarray(pa.weight[flat].astype(np.int64))
+        perm = np.zeros(len(flat), dtype=np.int32)
+        sort_batch(wts, off, len(items), perm)
+        for gi, (i, lst) in enumerate(items):
+            s, e = off[gi], off[gi + 1]
+            d[i] = [lst[j] for j in perm[s:e]]
+    return [Matches(store=sub, pa=pa, fwd=fwd, bwd=bwd)]
+
+
+def _concat_stores(stores):
+    """Order-preserving row concatenation of OverlapStores (no re-sort:
+    the merged candidate order must stay part-major)."""
+    if len(stores) == 1:
+        return stores[0]
+    cols = {}
+    for fname in ("a_id", "b_id", "a_len", "b_len", "a_start", "a_end",
+                  "b_start", "b_end", "rc", "diffs", "tlen"):
+        cols[fname] = np.concatenate([getattr(st, fname) for st in stores])
+    trace = np.concatenate([st.trace for st in stores])
+    offs = []
+    base = 0
+    for st in stores:
+        offs.append(st.trace_off + base)
+        base += len(st.trace)
+    cols["trace_off"] = np.concatenate(offs)
+    return OverlapStore(trace=trace, tspace=stores[0].tspace, **cols)
 
 
 class _UF:
