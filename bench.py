@@ -551,7 +551,11 @@ def main():
     # readable from the primary line alone).
     if rec:
         for entry in rec:
-            if entry.get("kind") == "e2e_assemble" and entry.get("backend") == "tpu":
+            if (entry.get("kind") == "e2e_assemble"
+                    and entry.get("backend") == "tpu"
+                    and entry.get("workload", {}).get("genome_mb") == 4.6):
+                # the canonical 4.6Mb/30x workload only (the scale-check
+                # entries carry their own walls in BENCH_DETAIL.recorded)
                 primary["recorded_tpu_e2e_wall_s"] = entry.get("wall_s")
             if entry.get("kind") == "reference_stage_wall":
                 primary["recorded_ref_stage_total_s"] = entry.get("reference_total_s")
