@@ -94,6 +94,55 @@ def test_split_las(small_sim):
         last_a = p.a_id[-1]
 
 
+def test_split_las_mid_pileup(small_sim):
+    """split_pileups=True cuts at exact record counts: one A-read's
+    records can straddle parts (the block-aligned-LAsplit shape that
+    parity profile 93 feeds the reference binaries)."""
+    ov = small_sim["overlaps"]
+    n_reads = small_sim["read_store"].n_reads
+    k = max(7, ov.n // 4)
+    parts = split_las(ov, n_reads, k, split_pileups=True)
+    assert sum(p.n for p in parts) == ov.n
+    assert all(p.n == k for p in parts[:-1])
+    # record order is preserved across the concatenation
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.concatenate([p.a_id for p in parts]), ov.a_id)
+    # at least one boundary falls inside a pileup for this workload
+    straddles = any(parts[i].a_id[-1] == parts[i + 1].a_id[0]
+                    for i in range(len(parts) - 1))
+    assert straddles, "workload too small to exercise the straddle shape"
+
+
+def test_write_db_multi_block_roundtrip(tmp_path, small_sim):
+    """A DBsplit-style block index (blocks = N + N+1 boundary lines,
+    DB.h:299-311) round-trips through read_db and keeps the stub
+    parseable by the same grammar the reference's Open_DB uses."""
+    from hinge_tpu.io.dazz_db import read_db, write_db
+
+    rs = small_sim["read_store"]
+    path = str(tmp_path / "B.db")
+    write_db(path, rs, n_blocks=3)
+    stub = open(path).read().splitlines()
+    nb_line = [l for l in stub if l.startswith("blocks")][0]
+    assert int(nb_line.split("=")[1]) == 3
+    # boundary lines: N+1 of them, first 0, last n_reads, non-decreasing
+    import re
+
+    bdata = [tuple(map(int, re.findall(r"\d+", l)))
+             for l in stub if re.fullmatch(r" +\d+ +\d+", l)]
+    assert len(bdata) == 4
+    assert bdata[0] == (0, 0) and bdata[-1] == (rs.n_reads, rs.n_reads)
+    assert all(a[0] <= b[0] for a, b in zip(bdata, bdata[1:]))
+    rs2 = read_db(path)
+    assert rs2.n_reads == rs.n_reads
+    import numpy as np
+
+    np.testing.assert_array_equal(rs2.length, rs.length)
+    np.testing.assert_array_equal(rs2.bases, rs.bases)
+
+
 def test_merge_las(tmp_path, small_sim):
     """LAmerge equivalent: split parts merge back to the original store
     byte-for-byte, and block-vs-block (interleaved) parts merge into
