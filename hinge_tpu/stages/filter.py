@@ -544,6 +544,14 @@ def _call_hinges_device(
         if i not in read_rows:
             lo, hi = bounds[i - r_begin], bounds[i - r_begin + 1]
             rows = sel_idx[lo:hi]
+            # reference pileup order: std::sort(compare_overlap) over the
+            # las-order rows — descending summed match length with the
+            # introsort tie arrangement (ops.hinge_call.introsort_perm)
+            from hinge_tpu.ops.hinge_call import introsort_perm
+
+            mlen = ((part.a_end[rows] - part.a_start[rows])
+                    + (part.b_end[rows] - part.b_start[rows]))
+            rows = rows[introsort_perm(mlen, descending=True)]
             b_ids = part.b_id[rows]
             rcs = part.rc[rows]
             bms = part.b_start[rows]
@@ -615,9 +623,12 @@ def _call_hinges(
         anns = repeat_annotation[i]
         lo, hi = bounds[i - r_begin], bounds[i - r_begin + 1]
         rows = sel_idx[lo:hi]
-        # sort by compare_overlap: descending summed match length, stable
+        # std::sort(compare_overlap): descending summed match length with
+        # the reference's introsort tie arrangement
+        from hinge_tpu.ops.hinge_call import introsort_perm
+
         mlen = (part.a_end[rows] - part.a_start[rows]) + (part.b_end[rows] - part.b_start[rows])
-        rows = rows[np.argsort(-mlen, kind="stable")]
+        rows = rows[introsort_perm(mlen, descending=True)]
 
         # average coverage near mask ends (filter.cpp:842-865)
         m0, m1 = int(maskvec[i, 0]), int(maskvec[i, 1])
@@ -654,8 +665,9 @@ def _call_hinges(
                 support = int(near.sum())
                 if support < HMS:
                     continue
+                # std::sort(pairAscend): .first ONLY — introsort tie order
                 other = np.stack([ams[near], left_ovh[near]], axis=1)
-                other = other[np.lexsort((other[:, 1], other[:, 0]))]  # pairAscend
+                other = other[introsort_perm(other[:, 0], descending=False)]
                 bridged = _bridged_scan_out(other, m0, HBL, THETA, HRUT, HBPT)
                 if (not bridged) and support > HMS:
                     hinges[i].append((pos_a, -1))
@@ -664,8 +676,9 @@ def _call_hinges(
                 support = int(near.sum())
                 if support < HMS:
                     continue
+                # std::sort(pairDescend): .first ONLY — introsort tie order
                 other = np.stack([ame[near], right_ovh[near]], axis=1)
-                other = other[np.lexsort((-other[:, 1], -other[:, 0]))]  # pairDescend
+                other = other[introsort_perm(other[:, 0], descending=True)]
                 bridged = _bridged_scan_in(other, m1, HBL, THETA, HRUT, HBPT)
                 if (not bridged) and support > HMS:
                     hinges[i].append((pos_a, 1))
